@@ -1,0 +1,230 @@
+"""Configuration dataclasses and named presets.
+
+Mirrors the reference's dataclass-preset pattern
+(`/root/reference/src/training/config.py:12-153`,
+`/root/reference/colab_l4_training.py:56-180`) with an added mesh/sharding
+section that the single-device reference has no equivalent of (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class MemoryConfig:
+    """Episodic memory engine (hippocampal formation) configuration.
+
+    Knob parity with `/root/reference/src/core/hippocampal.py:41-118`:
+    max_memories=100_000, feature_dim=768, k_centroids=256, rebuild every
+    512 inserts, probe 8 centroids, retrieve k=5. The TPU build replaces
+    wall-clock timestamps with a logical step clock (`seconds_per_step`
+    converts steps back to the reference's exp(-age/3600) temporal decay).
+    """
+
+    max_memories: int = 100_000
+    feature_dim: int = 768
+    spatial_dims: int = 2
+    k_centroids: int = 256
+    rebuild_interval: int = 512          # rebuild centroids every N inserts
+    probe_centroids: int = 8             # nearest centroids scanned per query
+    retrieve_k: int = 5
+    # Bucketed IVF layout: per-centroid candidate list capacity. Static shape
+    # requirement on TPU; capacity = overprovision * max_memories/k_centroids.
+    bucket_overprovision: float = 2.0
+    # Scoring weights: (cosine, spatial, temporal) — hippocampal.py:300-303.
+    w_cosine: float = 0.5
+    w_spatial: float = 0.3
+    w_temporal: float = 0.2
+    temporal_tau: float = 3600.0         # exp(-age/tau), hippocampal.py:297
+    seconds_per_step: float = 1.0        # logical-clock → seconds conversion
+    # Cognitive map (place/grid/time cells) — hippocampal.py:55-82.
+    n_place_cells: int = 2000
+    n_grid_cells: int = 200
+    n_time_cells: int = 100
+    place_max_rate: float = 20.0
+    grid_max_rate: float = 25.0
+    # Lloyd iterations in a full rebuild (reference uses 1: hippocampal.py:357).
+    rebuild_lloyd_iters: int = 1
+
+    @property
+    def bucket_capacity(self) -> int:
+        cap = int(self.bucket_overprovision * self.max_memories / self.k_centroids)
+        # Keep lane-aligned for TPU friendliness.
+        return max(8, ((cap + 127) // 128) * 128)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Hippocampal transformer model configuration.
+
+    Parity: `/root/reference/src/training/config.py:12-37`.
+    """
+
+    vocab_size: int = 32_000
+    embedding_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_seq_len: int = 512
+    dropout: float = 0.1
+
+    # Place-cell encoder (place_cell_encoder.py:12-137)
+    n_place_cells: int = 2000
+    place_cell_sparsity: float = 0.03
+    place_residual_scale: float = 0.1
+
+    # Theta-gamma positional encoding (theta_gamma_encoding.py:12-106)
+    theta_freq: float = 8.0
+    gamma_freq: float = 40.0
+
+    # Memory-augmented (RAG) layers (memory_augmented_layer.py:18-251)
+    use_rag: bool = False
+    memory_injection: str = "gate"       # "gate" | "cross_attention" | "concat"
+    num_retrieved: int = 5
+
+    # Spiking FFN (snn_ffn.py:16-146). `snn_layers` lists layer indices using
+    # a HybridFFN; empty tuple = standard GELU MLP everywhere.
+    snn_layers: Tuple[int, ...] = ()
+    snn_timesteps: int = 4
+    snn_levels: int = 8                  # multi-bit spike levels L
+    snn_ratio: float = 0.5
+
+    use_gradient_checkpointing: bool = False
+    tie_word_embeddings: bool = True
+    dtype: str = "bfloat16"              # computation dtype
+
+    @property
+    def head_dim(self) -> int:
+        return self.embedding_dim // self.num_heads
+
+    @property
+    def place_k(self) -> int:
+        return max(1, int(self.n_place_cells * self.place_cell_sparsity))
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Training hyperparameters. Parity: training/config.py:40-90."""
+
+    batch_size: int = 32
+    gradient_accumulation_steps: int = 1
+    max_steps: int = 100_000
+
+    lr: float = 1e-4
+    warmup_steps: int = 2000
+    min_lr_ratio: float = 0.1
+    weight_decay: float = 0.01
+    gradient_clip: float = 1.0
+
+    label_smoothing: float = 0.1
+    entropy_lambda: float = 0.05
+    sparsity_lambda: float = 0.02
+    target_sparsity: float = 0.03
+
+    # Memory system
+    memory_warmup_steps: int = 5000
+    memory_store_interval: int = 10      # store memories every N steps
+    memory_decay_rate: float = 0.001
+    replay_buffer_size: int = 50_000
+    ewc_lambda: float = 0.4
+
+    # Sleep-wake cycle (hippocampal_trainer.py:192-196)
+    sleep_interval: int = 1000
+    sleep_replay_batches: int = 4
+
+    save_steps: int = 1000
+    eval_steps: int = 500
+    logging_steps: int = 100
+
+    # Modulators (colab_l4_training.py:827-829, :648-667)
+    enable_amygdala: bool = True
+    enable_endocrine: bool = True
+    enable_thalamus: bool = True
+
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh / sharding configuration (no reference equivalent; SURVEY §2.8).
+
+    Axes: 'data' (batch + memory-bank rows), 'model' (attention heads / FFN
+    hidden / vocab). Collectives ride ICI via GSPMD.
+    """
+
+    data_axis: int = -1                  # -1 = all remaining devices
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class AuraConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    memory: MemoryConfig = field(default_factory=MemoryConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "AuraConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(model_kw, memory_kw, training_kw) -> AuraConfig:
+    return AuraConfig(
+        model=ModelConfig(**model_kw),
+        memory=MemoryConfig(**memory_kw),
+        training=TrainingConfig(**training_kw),
+    )
+
+
+def get_test_config() -> AuraConfig:
+    """Small config for fast runs / CI (reference 'test' preset:
+    colab_l4_training.py:133-151 — 512D/6L/8H, seq 256, 5k steps)."""
+    return _cfg(
+        dict(vocab_size=32_000, embedding_dim=512, num_layers=6, num_heads=8,
+             intermediate_size=2048, max_seq_len=256, n_place_cells=1000),
+        dict(max_memories=10_000, feature_dim=512, k_centroids=64,
+             rebuild_interval=128, n_place_cells=1000),
+        dict(batch_size=16, max_steps=5000, warmup_steps=200,
+             memory_warmup_steps=500, sleep_interval=500),
+    )
+
+
+def get_debug_config() -> AuraConfig:
+    """Tiny config for unit tests (reference get_debug_config)."""
+    return _cfg(
+        dict(vocab_size=512, embedding_dim=64, num_layers=2, num_heads=4,
+             intermediate_size=128, max_seq_len=32, n_place_cells=128),
+        dict(max_memories=256, feature_dim=64, k_centroids=8,
+             rebuild_interval=32, n_place_cells=64, n_grid_cells=16,
+             n_time_cells=8),
+        dict(batch_size=4, max_steps=100, warmup_steps=10,
+             memory_warmup_steps=10, sleep_interval=50),
+    )
+
+
+def get_small_config() -> AuraConfig:
+    return _cfg(
+        dict(embedding_dim=512, num_layers=6, num_heads=8,
+             intermediate_size=2048, n_place_cells=1000),
+        dict(feature_dim=512),
+        dict(batch_size=16),
+    )
+
+
+def get_medium_config() -> AuraConfig:
+    """12L/768D — the reference 'medium' preset (~160M class)."""
+    return _cfg(dict(), dict(), dict(batch_size=32, max_steps=20_000))
+
+
+def get_full_config() -> AuraConfig:
+    """Flagship ~271M-class preset (MODEL_CARD.md:30-31 parity)."""
+    return _cfg(
+        dict(embedding_dim=1024, num_layers=16, num_heads=16,
+             intermediate_size=4096, n_place_cells=2000, use_rag=True,
+             snn_layers=(2, 6, 10, 14)),
+        dict(feature_dim=1024),
+        dict(batch_size=64, max_steps=50_000),
+    )
