@@ -20,6 +20,7 @@ A JAX/XLA/Pallas/pjit implementation of the reference system's capabilities
 
 __version__ = "0.1.0"
 
+from aura_snn_rag_tpu import _cache  # noqa: F401  (persistent XLA cache)
 from aura_snn_rag_tpu.config import (  # noqa: F401
     MemoryConfig,
     ModelConfig,

@@ -31,6 +31,10 @@ class MemoryConfig:
     rebuild_interval: int = 512          # rebuild centroids every N inserts
     probe_centroids: int = 8             # nearest centroids scanned per query
     retrieve_k: int = 5
+    # coarse→rerank funnel width: the bf16 clustered scan keeps this many
+    # candidates per query for the exact f32 rerank (near-tie scores below
+    # bf16 resolution need a wide funnel)
+    rerank_candidates: int = 128
     # Bucketed IVF layout: per-centroid candidate list capacity. Static shape
     # requirement on TPU; capacity = overprovision * max_memories/k_centroids.
     bucket_overprovision: float = 2.0

@@ -1,0 +1,141 @@
+"""Sampling transforms and the autoregressive decode loop.
+
+Parity:
+- temperature / top-k / top-p / repetition-penalty semantics ↔
+  `SNNRAGTransformer.generate` (/root/reference/src/core/language_zone/
+  snn_rag_transformer.py:166-244) and `top_p_sampling` /
+  `apply_repetition_penalty` (/root/reference/src/generation/
+  sampling_utils.py:4-42; sign-aware penalty: positive logits divided,
+  negative multiplied);
+- recent-token blocking ↔ the stable generation variant
+  (aura_nemotron_cc2_pretraining.py:714-757).
+
+TPU-native difference: the reference recomputes the full prefix every token
+(NO KV cache anywhere — SURVEY §3.3). Here decode is one `lax.scan` over
+steps with per-layer KV caches in the carry: O(L) per token instead of
+O(L²), entirely on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def apply_repetition_penalty(logits: jax.Array, token_counts: jax.Array,
+                             penalty: float) -> jax.Array:
+    """Sign-aware repetition penalty over the vocab.
+
+    token_counts: [V] (or [B, V]) counts of tokens seen so far; penalized
+    iff count > 0. positive logits /= penalty, negative *= penalty.
+    """
+    seen = token_counts > 0
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
+    """Nucleus filtering: keep the smallest prefix with cumulative prob > p."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens whose cumulative prob (exclusive) <= p; always keep top-1
+    keep_sorted = (cum - probs) <= p
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+        keepdims=True)
+    return jnp.where(logits < threshold, NEG_INF, logits)
+
+
+def sample_token(rng: jax.Array, logits: jax.Array,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 1.0,
+                 token_counts: Optional[jax.Array] = None,
+                 repetition_penalty: float = 1.0) -> jax.Array:
+    """logits [..., V] → sampled token ids [...]."""
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None and repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, token_counts,
+                                          repetition_penalty)
+    if temperature != 1.0:
+        logits = logits / max(temperature, 1e-6)
+    logits = top_k_filter(logits, top_k)
+    logits = top_p_filter(logits, top_p)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def generate(model, params, input_ids: jax.Array, max_new_tokens: int,
+             rng: jax.Array, temperature: float = 1.0, top_k: int = 50,
+             top_p: float = 0.9, repetition_penalty: float = 1.2,
+             memory_state=None, use_memory: bool = False,
+             eos_token_id: Optional[int] = None,
+             prosody: Optional[jax.Array] = None) -> jax.Array:
+    """KV-cached autoregressive generation.
+
+    input_ids: [B, L_prompt] → returns [B, L_prompt + max_new_tokens]
+    (positions after EOS are padded with EOS when eos_token_id is set).
+    """
+    B, L0 = input_ids.shape
+    cfg = model.config
+    V = cfg.vocab_size
+    total_len = L0 + max_new_tokens
+    assert total_len <= cfg.max_seq_len, (
+        f"total {total_len} exceeds max_seq_len {cfg.max_seq_len}")
+
+    caches = model.init_kv_caches(B, cfg.max_seq_len)
+    counts = jnp.zeros((B, V), jnp.int32)
+    counts = counts.at[jnp.arange(B)[:, None], input_ids].add(1)
+
+    # ---- prefill ----
+    positions = jnp.broadcast_to(jnp.arange(L0)[None, :], (B, L0))
+    out, caches = model.apply(
+        params, input_ids, prosody=prosody, use_memory=use_memory,
+        memory_state=memory_state, positions=positions,
+        kv_caches=caches, cache_index=jnp.asarray(0))
+    rng, sub = jax.random.split(rng)
+    next_tok = sample_token(sub, out.logits[:, -1], temperature, top_k,
+                            top_p, counts, repetition_penalty)
+
+    def step(carry, rng_t):
+        caches, counts, tok, pos, done = carry
+        counts = counts.at[jnp.arange(B), tok].add(1)
+        out, caches = model.apply(
+            params, tok[:, None], use_memory=use_memory,
+            memory_state=memory_state,
+            positions=pos[:, None],
+            kv_caches=caches, cache_index=pos[0])
+        nxt = sample_token(rng_t, out.logits[:, 0], temperature, top_k,
+                           top_p, counts, repetition_penalty)
+        if eos_token_id is not None:
+            nxt = jnp.where(done, eos_token_id, nxt)
+            done = done | (nxt == eos_token_id)
+        return (caches, counts, nxt, pos + 1, done), tok
+
+    done0 = jnp.zeros((B,), bool)
+    if eos_token_id is not None:
+        done0 = next_tok == eos_token_id
+    # prefill produced token #1; scan produces the remaining n-1
+    rngs = jax.random.split(rng, max(max_new_tokens - 1, 0))
+    carry = (caches, counts, next_tok,
+             jnp.full((B,), L0, jnp.int32), done0)
+    (_, _, last, _, _), toks = jax.lax.scan(step, carry, rngs)
+    if max_new_tokens > 1:
+        generated = jnp.concatenate(
+            [jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
+    else:
+        generated = last[:, None]
+    return jnp.concatenate([input_ids, generated], axis=1)

@@ -10,8 +10,10 @@ pure jittable functions over a static-shape `MemoryState` pytree.
 from aura_snn_rag_tpu.memory.state import MemoryState, init_memory_state  # noqa: F401
 from aura_snn_rag_tpu.memory.engine import (  # noqa: F401
     write_memories,
+    bulk_load,
     retrieve,
     retrieve_bruteforce,
+    retrieve_auto,
     decay_memories,
     rebuild_centroids,
 )

@@ -1,0 +1,435 @@
+"""Pure jittable operations on `MemoryState`: write / retrieve / decay / rebuild.
+
+Behavioral parity with `/root/reference/src/core/hippocampal.py` (SURVEY.md
+§3.4), redesigned for TPU:
+
+- WRITE (`write_memories`) ↔ `create_episodic_memory` (:195-243): FIFO slot,
+  strength/timestamp row, online nearest-centroid assignment with incremental
+  update eta = 1/count (:217-230). Batched: a whole [B, D] batch is written in
+  one `lax.scan` (the reference loops in Python per row).
+- READ (`retrieve`) ↔ `retrieve_similar_memories` (:245-319): probe the 8
+  nearest centroids, score candidates with
+  (0.5·cosine + 0.3·spatial + 0.2·temporal) · strength (:300-303), top-k.
+  Candidates come from the IVF clustered store — P contiguous [C, D] HBM
+  blocks per query — instead of the reference's boolean-mask Python loop
+  (:266-267). Batched over queries in one call (fixes the per-batch-item
+  loop defect, SURVEY §2.11). The reference's candidate/metadata shape
+  mismatch bug (:287 vs :277) is fixed by construction: all per-candidate
+  tensors are gathered through the same `slots` indices.
+- DECAY (`decay_memories`) ↔ `decay_memories` (:321-343).
+- REBUILD (`rebuild_centroids`) ↔ `rebuild_centroids` (:345-377): sample-k
+  init + configurable Lloyd iterations (reference: 1) using one big matmul
+  for assignment (MXU) + `segment_sum` for means, then a vectorized
+  sort-by-cluster scatter to build the static bucketed layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aura_snn_rag_tpu.config import MemoryConfig
+from aura_snn_rag_tpu.memory.state import MemoryState
+
+NEG_INF = -1e30
+
+
+class RetrievalResult(NamedTuple):
+    indices: jax.Array    # [B, k] bank slots (-1 = no hit)
+    scores: jax.Array     # [B, k] combined scores
+    features: jax.Array   # [B, k, D] raw stored features
+
+
+def _l2norm(x, axis=-1, eps=1e-12):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
+
+
+# --------------------------------------------------------------------------
+# WRITE
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def write_memories(config: MemoryConfig, state: MemoryState,
+                   features: jax.Array, locations: jax.Array) -> MemoryState:
+    """One-shot write of a [B, D] batch (with [B, S] locations) into the bank.
+
+    Sequential within the batch (centroid counts / ring cursors carry), one
+    fused scan — donated buffers make the row updates in-place HBM scatters.
+    """
+    features = features.astype(state.features.dtype)
+    locations = locations.astype(state.locations.dtype)
+    C = state.bucket_capacity
+    M = state.max_memories
+
+    def write_one(st: MemoryState, row):
+        f, loc = row
+        idx = (st.count % M).astype(jnp.int32)
+        gen = st.count
+
+        # nearest centroid (only meaningful when the index is live)
+        d2 = jnp.sum((st.centroids - f) ** 2, axis=-1)          # [K]
+        cid = jnp.argmin(d2).astype(jnp.int32)
+        assign = st.index_ready
+        cid_stored = jnp.where(assign, cid, -1)
+
+        # incremental centroid update, eta = 1/n (hippocampal.py:227-228)
+        new_count = st.centroid_counts[cid] + 1.0
+        eta = 1.0 / jnp.maximum(new_count, 1.0)
+        updated_c = (1.0 - eta) * st.centroids[cid] + eta * f
+        centroids = st.centroids.at[cid].set(
+            jnp.where(assign, updated_c, st.centroids[cid]))
+        centroid_counts = st.centroid_counts.at[cid].add(
+            jnp.where(assign, 1.0, 0.0))
+
+        # clustered-store ring append
+        pos = st.bucket_fill[cid] % C
+        fn = _l2norm(f).astype(st.clustered.dtype)
+        clustered = st.clustered.at[cid, pos].set(
+            jnp.where(assign, fn, st.clustered[cid, pos]))
+        cluster_slot = st.cluster_slot.at[cid, pos].set(
+            jnp.where(assign, idx, st.cluster_slot[cid, pos]))
+        cluster_gen = st.cluster_gen.at[cid, pos].set(
+            jnp.where(assign, gen, st.cluster_gen[cid, pos]))
+        bucket_fill = st.bucket_fill.at[cid].add(
+            jnp.where(assign, 1, 0).astype(jnp.int32))
+
+        return MemoryState(
+            features=st.features.at[idx].set(f),
+            locations=st.locations.at[idx].set(loc),
+            strength=st.strength.at[idx].set(1.0),
+            timestamp=st.timestamp.at[idx].set(st.step),
+            centroid_id=st.centroid_id.at[idx].set(cid_stored),
+            slot_gen=st.slot_gen.at[idx].set(gen),
+            centroids=centroids,
+            centroid_counts=centroid_counts,
+            clustered=clustered,
+            cluster_slot=cluster_slot,
+            cluster_gen=cluster_gen,
+            bucket_fill=bucket_fill,
+            count=st.count + 1,
+            step=st.step,
+            index_ready=st.index_ready,
+        ), None
+
+    state, _ = jax.lax.scan(write_one, state, (features, locations))
+    return state
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def bulk_load(config: MemoryConfig, state: MemoryState,
+              features: jax.Array, locations: jax.Array) -> MemoryState:
+    """Vectorized bulk ingest of [N, D] rows into an EMPTY bank (N <= M).
+
+    Benchmark/ingestion fast path: fills bank rows directly (no per-row
+    centroid bookkeeping); call `rebuild_centroids` afterwards to build the
+    index. Semantically equivalent to N one-shot writes at the current step.
+    """
+    N = features.shape[0]
+    f32 = state.features.dtype
+    return state._replace(
+        features=state.features.at[:N].set(features.astype(f32)),
+        locations=state.locations.at[:N].set(locations.astype(f32)),
+        strength=state.strength.at[:N].set(1.0),
+        timestamp=state.timestamp.at[:N].set(state.step),
+        slot_gen=state.slot_gen.at[:N].set(
+            state.count + jnp.arange(N, dtype=jnp.int32)),
+        count=state.count + N,
+    )
+
+
+# --------------------------------------------------------------------------
+# SCORING (shared by both retrieval paths)
+# --------------------------------------------------------------------------
+
+def _combined_score(config: MemoryConfig, state: MemoryState,
+                    cos: jax.Array, slots: jax.Array,
+                    query_loc: Optional[jax.Array]) -> jax.Array:
+    """(w_c·cos + w_s·spatial + w_t·temporal) · strength, gathered via slots.
+
+    slots: [..., N] bank indices (clipped to valid range by the caller).
+    query_loc: [B, S] or None; cos/slots lead with the same batch dims.
+    """
+    strength = state.strength[slots]
+    ages = (state.step - state.timestamp[slots]) * config.seconds_per_step
+    temporal = jnp.exp(-jnp.maximum(ages, 0.0) / config.temporal_tau)
+
+    if query_loc is not None:
+        mem_loc = state.locations[slots]                       # [..., N, S]
+        d = jnp.sqrt(jnp.sum(
+            (mem_loc - query_loc[:, None, :]) ** 2, axis=-1) + 1e-12)
+        spatial = 1.0 / (1.0 + d)
+    else:
+        spatial = jnp.zeros_like(cos)
+
+    return (config.w_cosine * cos + config.w_spatial * spatial
+            + config.w_temporal * temporal) * strength
+
+
+# --------------------------------------------------------------------------
+# RETRIEVE — IVF (centroid-probed) path
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
+             query_locations: Optional[jax.Array] = None,
+             k: int = 5) -> RetrievalResult:
+    """Batched approximate retrieval via the centroid index.
+
+    queries: [B, D]; query_locations: [B, S] or None. Returns top-k per query.
+
+    Per query: nearest-P centroid scan ([B, K] matmul), fetch P contiguous
+    [C, D] blocks from the clustered store, score all P·C candidates with the
+    combined metric, mask invalid/stale entries, single top-k.
+    """
+    P = min(config.probe_centroids, state.k_centroids)
+    qn = _l2norm(queries)                                       # [B, D]
+
+    # nearest centroids by L2: argmin ||c - q||^2 = argmin ||c||^2 - 2 q·c
+    c2 = jnp.sum(state.centroids ** 2, axis=-1)                 # [K]
+    qc = queries @ state.centroids.T                            # [B, K] (MXU)
+    cdist = c2[None, :] - 2.0 * qc
+    _, top_c = jax.lax.top_k(-cdist, P)                         # [B, P]
+
+    # fetch candidate blocks: [B, P, C, D] contiguous gathers
+    blocks = state.clustered[top_c]
+    slots_raw = state.cluster_slot[top_c]                       # [B, P, C]
+    gens = state.cluster_gen[top_c]
+
+    cos = jnp.einsum("bpcd,bd->bpc", blocks.astype(jnp.float32), qn)
+
+    slots = jnp.maximum(slots_raw, 0)
+    valid = (slots_raw >= 0) & (gens == state.slot_gen[slots])
+
+    B = queries.shape[0]
+    cos = cos.reshape(B, -1)
+    slots = slots.reshape(B, -1)
+    valid = valid.reshape(B, -1)
+
+    combined = _combined_score(config, state, cos, slots, query_locations)
+    combined = jnp.where(valid, combined, NEG_INF)
+
+    # Coarse top-k' on bf16 scores, then exact f32 rerank from the bank
+    # (standard IVF+rerank: the bf16 clustered scan is bandwidth-optimal but
+    # cannot resolve near-tie cosines; the rerank restores exactness on the
+    # survivors at negligible cost).
+    kk = min(max(config.rerank_candidates, 4 * k), combined.shape[-1])
+    _, pick = jax.lax.top_k(combined, kk)                        # [B, k']
+    cand_slots = jnp.take_along_axis(slots, pick, axis=1)
+    cand_valid = jnp.take_along_axis(valid, pick, axis=1)
+
+    cand_feats = state.features[cand_slots]                      # [B, k', D]
+    # HIGHEST precision: default matmul precision is bf16 on TPU (and on this
+    # XLA build even on CPU); the rerank exists to resolve near-ties, so it
+    # must run at true f32.
+    exact_cos = jnp.einsum(
+        "bkd,bd->bk", _l2norm(cand_feats.astype(jnp.float32)), qn,
+        precision=jax.lax.Precision.HIGHEST)
+    exact = _combined_score(config, state, exact_cos, cand_slots,
+                            query_locations)
+    exact = jnp.where(cand_valid, exact, NEG_INF)
+
+    scores, pick2 = jax.lax.top_k(exact, k)                      # [B, k]
+    out_slots = jnp.take_along_axis(cand_slots, pick2, axis=1)
+    hit = scores > NEG_INF / 2
+    out_slots = jnp.where(hit, out_slots, -1)
+    feats = jnp.take_along_axis(cand_feats, pick2[..., None], axis=1)
+    feats = jnp.where(hit[..., None], feats, 0.0)
+    return RetrievalResult(out_slots, jnp.where(hit, scores, 0.0), feats)
+
+
+# --------------------------------------------------------------------------
+# RETRIEVE — brute force (exact; also the fallback when index not ready)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def retrieve_bruteforce(config: MemoryConfig, state: MemoryState,
+                        queries: jax.Array,
+                        query_locations: Optional[jax.Array] = None,
+                        k: int = 5) -> RetrievalResult:
+    """Exact retrieval: one [B, M] masked matmul over the whole bank (MXU)."""
+    M = state.max_memories
+    qn = _l2norm(queries)
+    inv_norm = jax.lax.rsqrt(
+        jnp.sum(state.features ** 2, axis=-1) + 1e-12)          # [M]
+    cos = jnp.einsum("bd,md->bm", qn, state.features,
+                     precision=jax.lax.Precision.HIGHEST) * inv_norm[None, :]
+
+    slots = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32),
+                             (queries.shape[0], M))
+    combined = _combined_score(config, state, cos, slots, query_locations)
+    active = jnp.arange(M) < state.active_count()
+    combined = jnp.where(active[None, :], combined, NEG_INF)
+
+    scores, out_slots = jax.lax.top_k(combined, k)
+    hit = scores > NEG_INF / 2
+    out_slots = jnp.where(hit, out_slots.astype(jnp.int32), -1)
+    feats = state.features[jnp.maximum(out_slots, 0)]
+    feats = jnp.where(hit[..., None], feats, 0.0)
+    return RetrievalResult(out_slots, jnp.where(hit, scores, 0.0), feats)
+
+
+def retrieve_auto(config: MemoryConfig, state: MemoryState,
+                  queries: jax.Array,
+                  query_locations: Optional[jax.Array] = None,
+                  k: int = 5) -> RetrievalResult:
+    """Traceable dispatch: IVF path when the index is live, else brute force.
+
+    Mirrors the reference's runtime check (hippocampal.py:259): index used
+    iff `_index_ready and memory_count > centroids_k`. Both branches compile
+    (static shapes); only one executes per call.
+    """
+    use_index = state.index_ready & (
+        state.active_count() > jnp.asarray(state.k_centroids, jnp.int32))
+    return jax.lax.cond(
+        use_index,
+        lambda: retrieve(config, state, queries, query_locations, k),
+        lambda: retrieve_bruteforce(config, state, queries,
+                                    query_locations, k),
+    )
+
+
+# --------------------------------------------------------------------------
+# DECAY
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _decay(state: MemoryState, rate) -> MemoryState:
+    return state._replace(strength=state.strength * (1.0 - rate))
+
+
+def decay_memories(state: MemoryState, decay_rate: float = 0.01) -> MemoryState:
+    """Multiplicative strength decay (hippocampal.py:334)."""
+    return _decay(state, jnp.asarray(decay_rate, state.strength.dtype))
+
+
+def tick(state: MemoryState, steps: float = 1.0) -> MemoryState:
+    """Advance the logical clock (replaces wall-clock time.time())."""
+    return state._replace(step=state.step + steps)
+
+
+# --------------------------------------------------------------------------
+# REBUILD — batched k-means + bucketed layout construction
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def rebuild_centroids(config: MemoryConfig, state: MemoryState,
+                      key: jax.Array) -> MemoryState:
+    """Full index rebuild (hippocampal.py:345-377, vectorized).
+
+    sample-k init → `rebuild_lloyd_iters` Lloyd iterations (assignment by one
+    [M, K] matmul; means by segment_sum) → reassign all rows → rebuild the
+    clustered candidate store with a sort-by-cluster permutation scatter.
+    """
+    M, K, C = state.max_memories, state.k_centroids, state.bucket_capacity
+    feats = state.features
+    active = jnp.arange(M) < state.active_count()
+
+    # ---- init: K distinct random active rows ----
+    r = jax.random.uniform(key, (M,)) + jnp.where(active, 0.0, 1e9)
+    _, init_idx = jax.lax.top_k(-r, K)
+    centroids = feats[init_idx]
+
+    # ---- Lloyd iterations (blockwise: avoid a full [M, K] live buffer) ----
+    BLK = 65536
+    n_blocks = max(1, -(-M // BLK))
+    M_pad = n_blocks * BLK
+
+    def assign_rows_top2(cents):
+        """Per row: (nearest, second-nearest) centroid + distance scores."""
+        c2 = jnp.sum(cents ** 2, axis=-1)
+        fpad = jnp.pad(feats, ((0, M_pad - M), (0, 0))) if M_pad != M else feats
+        fblk = fpad.reshape(n_blocks, -1, feats.shape[1])
+
+        def one_block(fb):
+            d = c2[None, :] - 2.0 * (fb @ cents.T)              # [BLK, K] MXU
+            negd, idx = jax.lax.top_k(-d, 2)
+            return idx.astype(jnp.int32), -negd
+
+        idx, dist = jax.lax.map(one_block, fblk)
+        idx = idx.reshape(M_pad, 2)[:M]
+        dist = dist.reshape(M_pad, 2)[:M]
+        a1 = jnp.where(active, idx[:, 0], K)
+        a2 = jnp.where(active, idx[:, 1], K)
+        return a1, a2, dist[:, 0], dist[:, 1]
+
+    def assign_rows(cents):
+        return assign_rows_top2(cents)[0]
+
+    def lloyd(cents, _):
+        a = assign_rows(cents)
+        sums = jax.ops.segment_sum(
+            jnp.where(active[:, None], feats, 0.0), a, num_segments=K + 1)[:K]
+        counts = jax.ops.segment_sum(
+            active.astype(feats.dtype), a, num_segments=K + 1)[:K]
+        cents = jnp.where(counts[:, None] > 0, sums /
+                          jnp.maximum(counts[:, None], 1.0), cents)
+        return cents, None
+
+    centroids, _ = jax.lax.scan(lloyd, centroids, None,
+                                length=max(1, config.rebuild_lloyd_iters))
+
+    # ---- final assignment + capacity-aware spill ----
+    # k-means clusters can be heavily skewed; a cluster larger than the
+    # bucket capacity C would silently truncate members. Remedy: rank each
+    # cluster's members by distance to the centroid (closest first) and
+    # spill overflow members (rank >= C) to their SECOND-nearest centroid.
+    # A query probing P>=2 centroids still reaches the spilled members.
+    assign1, assign2, d1, _ = assign_rows_top2(centroids)
+
+    def rank_within(a, key):
+        """Rank of each row within its cluster ordered by ascending key."""
+        order_d = jnp.argsort(key)                  # by distance
+        order = order_d[jnp.argsort(a[order_d], stable=True)]  # (cluster, d)
+        sorted_a = a[order]
+        cnt = jax.ops.segment_sum(jnp.ones((M,), jnp.int32), a,
+                                  num_segments=K + 1)[:K]
+        start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
+        r_sorted = (jnp.arange(M, dtype=jnp.int32)
+                    - start[jnp.minimum(sorted_a, K - 1)])
+        rank = jnp.zeros((M,), jnp.int32).at[order].set(r_sorted)
+        return rank
+
+    rank1 = rank_within(assign1, d1)
+    assign = jnp.where((rank1 < C) | (assign1 >= K), assign1, assign2)
+    counts = jax.ops.segment_sum(
+        active.astype(feats.dtype), assign, num_segments=K + 1)[:K]
+
+    # ---- bucketed layout: sort rows by (cluster, distance) ----
+    order_d = jnp.argsort(d1)
+    order = order_d[jnp.argsort(assign[order_d], stable=True)]
+    sorted_assign = assign[order]
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts.astype(jnp.int32))])                 # [K+1]
+    safe_sa = jnp.minimum(sorted_assign, K - 1)
+    rank = jnp.arange(M, dtype=jnp.int32) - start[safe_sa]
+    keep = (sorted_assign < K) & (rank >= 0) & (rank < C)
+
+    # out-of-bounds rows (mode='drop') for non-kept entries
+    row = jnp.where(keep, sorted_assign, K)
+    col = jnp.where(keep, rank, 0)
+    src_slot = order.astype(jnp.int32)
+
+    cluster_slot = jnp.full((K, C), -1, jnp.int32).at[row, col].set(
+        src_slot, mode="drop")
+    cluster_gen = jnp.full((K, C), -1, jnp.int32).at[row, col].set(
+        state.slot_gen[order], mode="drop")
+    normed = _l2norm(feats[order]).astype(state.clustered.dtype)
+    clustered = jnp.zeros_like(state.clustered).at[row, col].set(
+        normed, mode="drop")
+    bucket_fill = jnp.minimum(counts.astype(jnp.int32), C)
+
+    return state._replace(
+        centroid_id=jnp.where(active, assign, -1).astype(jnp.int32),
+        centroids=centroids,
+        centroid_counts=counts,
+        clustered=clustered,
+        cluster_slot=cluster_slot,
+        cluster_gen=cluster_gen,
+        bucket_fill=bucket_fill,
+        index_ready=state.active_count() >= jnp.asarray(K, jnp.int32),
+    )

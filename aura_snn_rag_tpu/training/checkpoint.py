@@ -1,0 +1,109 @@
+"""Orbax checkpointing: params + optimizer + memory bank + id table.
+
+Parity with the reference's checkpoint/resume (SURVEY §5.4):
+`save_checkpoint` dict {step, model/optimizer state, loss}
+(colab_l4_training.py:712-725), resume with optional optimizer state
+(:799-824), `checkpoint_latest` convention
+(aura_nemotron_cc2_pretraining.py:246-325).
+
+Improvement over the reference: the hippocampal string-id table is saved
+alongside the bank (the reference silently loses its id↔idx dicts on resume,
+SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper for the trainer's full state."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, trainer, loss: float = 0.0) -> None:
+        hippo_sd = trainer.hippocampus.state_dict()
+        slot_ids = hippo_sd.pop("slot_ids")
+        payload = {
+            "params": trainer.state.params,
+            "opt_state": trainer.state.opt_state,
+            "step": np.asarray(step),
+            "memory_state": hippo_sd["memory_state"],
+            "cognitive_map": hippo_sd["cognitive_map"],
+            "amygdala_params": trainer.amygdala_params or {},
+            "thalamus_params": trainer.thalamus_params or {},
+        }
+        self.manager.save(step, args=ocp.args.StandardSave(payload))
+        self.manager.wait_until_finished()
+        # host-side metadata (string ids + scalars) as sidecar JSON
+        meta = {
+            "loss": loss,
+            "slot_ids": list(slot_ids),
+            "current_location":
+                np.asarray(hippo_sd["current_location"]).tolist(),
+            "writes_since_rebuild": hippo_sd["writes_since_rebuild"],
+        }
+        with open(os.path.join(self.directory, f"meta_{step}.json"),
+                  "w") as f:
+            json.dump(meta, f)
+
+    def restore(self, trainer, step: Optional[int] = None,
+                load_optimizer: bool = True) -> int:
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return 0
+        hippo_sd = trainer.hippocampus.state_dict()
+        template = {
+            "params": trainer.state.params,
+            "opt_state": trainer.state.opt_state,
+            "step": np.asarray(0),
+            "memory_state": hippo_sd["memory_state"],
+            "cognitive_map": hippo_sd["cognitive_map"],
+            "amygdala_params": trainer.amygdala_params or {},
+            "thalamus_params": trainer.thalamus_params or {},
+        }
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore(template))
+
+        meta_path = os.path.join(self.directory, f"meta_{step}.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+
+        from aura_snn_rag_tpu.training.trainer import TrainState
+        import jax.numpy as jnp
+        opt_state = (restored["opt_state"] if load_optimizer
+                     else trainer.state.opt_state)
+        trainer.state = TrainState(
+            restored["params"], opt_state,
+            jnp.asarray(int(restored["step"]), jnp.int32))
+        trainer.hippocampus.load_state_dict({
+            "memory_state": restored["memory_state"],
+            "cognitive_map": restored["cognitive_map"],
+            "slot_ids": meta.get("slot_ids",
+                                 [""] * trainer.hippocampus.config.max_memories),
+            "current_location": np.asarray(
+                meta.get("current_location",
+                         [0.0] * trainer.hippocampus.config.spatial_dims),
+                np.float32),
+            "writes_since_rebuild": meta.get("writes_since_rebuild", 0),
+        })
+        if restored.get("amygdala_params"):
+            trainer.amygdala_params = restored["amygdala_params"]
+        if restored.get("thalamus_params"):
+            trainer.thalamus_params = restored["thalamus_params"]
+        return int(restored["step"])

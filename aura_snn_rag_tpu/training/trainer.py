@@ -1,0 +1,398 @@
+"""Training harness: wake/sleep phases, EWC, replay, modulator coupling.
+
+Parity map:
+- train loop semantics ↔ colab_l4_training.py:554-709 (§3.1): prosody from
+  amygdala (stop-gradient), thalamic gating scalar, memory warmup +
+  endocrine memory gate, store every `memory_store_interval` steps, periodic
+  decay, LR modulation clamped to [0.9, 1.1];
+- wake/sleep machine ↔ hippocampal_trainer.py:130-348: sleep every
+  `sleep_interval` steps runs replay + time-reversed replay losses;
+- `EWCConsolidator` ↔ hippocampal_trainer.py:71-128: Fisher = mean squared
+  grads over validation batches; penalty λ·Σ F(θ−θ*)²;
+- `ReplayBuffer` ↔ hippocampal_trainer.py:43-69 (host-side ring).
+
+TPU-native differences: one fused jitted train step (forward, loss, grads,
+optimizer update, episodic write) with donated state; bf16 natively (no
+GradScaler); modulator scalars stay on device inside the step, with the
+thalamus gate consumed at one-step lag to avoid a host sync per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aura_snn_rag_tpu.config import AuraConfig
+from aura_snn_rag_tpu.memory import engine as memory_engine
+from aura_snn_rag_tpu.memory.hippocampus import HippocampalFormation
+from aura_snn_rag_tpu.memory.state import MemoryState
+from aura_snn_rag_tpu.models.brain.amygdala import Amygdala, build_prosody
+from aura_snn_rag_tpu.models.brain.endocrine import EndocrineSystem
+from aura_snn_rag_tpu.models.brain.thalamus import Thalamus
+from aura_snn_rag_tpu.models.transformer import HippocampalTransformer
+from aura_snn_rag_tpu.training.losses import hippocampal_loss
+from aura_snn_rag_tpu.training.schedule import warmup_cosine_schedule
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class ReplayBuffer:
+    """Host-side ring buffer of (input_ids, labels) batches with losses."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self._items = []
+        self._pos = 0
+
+    def __len__(self):
+        return len(self._items)
+
+    def add(self, input_ids: np.ndarray, labels: np.ndarray, loss: float):
+        item = (np.asarray(input_ids), np.asarray(labels), float(loss))
+        if len(self._items) < self.capacity:
+            self._items.append(item)
+        else:
+            self._items[self._pos] = item
+            self._pos = (self._pos + 1) % self.capacity
+
+    def sample(self, n: int, rng: np.random.RandomState):
+        idx = rng.permutation(len(self._items))[:n]
+        return [self._items[i] for i in idx]
+
+
+class EWCConsolidator:
+    """Elastic weight consolidation: Fisher-weighted quadratic anchor."""
+
+    def __init__(self, ewc_lambda: float):
+        self.ewc_lambda = ewc_lambda
+        self.fisher = None
+        self.theta_star = None
+
+    def consolidate(self, loss_grad_fn, params, batches, max_batches=50):
+        sq_sum = None
+        n = 0
+        for batch in batches[:max_batches]:
+            grads = loss_grad_fn(params, batch)
+            sq = jax.tree.map(lambda g: g.astype(jnp.float32) ** 2, grads)
+            sq_sum = sq if sq_sum is None else jax.tree.map(
+                jnp.add, sq_sum, sq)
+            n += 1
+        if n == 0:
+            return
+        self.fisher = jax.tree.map(lambda s: s / n, sq_sum)
+        self.theta_star = jax.tree.map(jnp.copy, params)
+
+    def penalty(self, params) -> jax.Array:
+        if self.fisher is None:
+            return jnp.zeros(())
+        terms = jax.tree.map(
+            lambda f, p, t: (f * (p.astype(jnp.float32)
+                                  - t.astype(jnp.float32)) ** 2).sum(),
+            self.fisher, params, self.theta_star)
+        return self.ewc_lambda * sum(jax.tree.leaves(terms))
+
+
+class Trainer:
+    """End-to-end training harness for the hippocampal transformer."""
+
+    def __init__(self, config: AuraConfig, seed: int = 0):
+        self.config = config
+        mcfg = config.memory
+        cfg = config.model
+        tcfg = config.training
+
+        self.model = HippocampalTransformer(
+            cfg, memory_config=mcfg if cfg.use_rag else None,
+            deterministic=False)
+        self.eval_model = HippocampalTransformer(
+            cfg, memory_config=mcfg if cfg.use_rag else None,
+            deterministic=True)
+        self.hippocampus = HippocampalFormation(mcfg, seed=seed + 1)
+
+        key = jax.random.PRNGKey(seed)
+        self.rng, init_key, amy_key = jax.random.split(key, 3)
+        L0 = min(8, cfg.max_seq_len)
+        ids = jnp.zeros((2, L0), jnp.int32)
+        init_kwargs = dict(use_memory=True,
+                           prosody=jnp.zeros((2, L0, 4)))
+        if cfg.use_rag:
+            init_kwargs["memory_state"] = self.hippocampus.state
+        self.params = self.model.init(
+            {"params": init_key, "dropout": init_key}, ids, **init_kwargs)
+
+        self.schedule = warmup_cosine_schedule(
+            tcfg.lr, tcfg.warmup_steps, tcfg.max_steps, tcfg.min_lr_ratio)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.gradient_clip),
+            optax.adamw(self.schedule, weight_decay=tcfg.weight_decay),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.state = TrainState(self.params, self.opt_state,
+                                jnp.zeros((), jnp.int32))
+
+        # modulators
+        self.amygdala = None
+        self.amygdala_params = None
+        if tcfg.enable_amygdala:
+            self.amygdala = Amygdala(cfg.embedding_dim)
+            self.amygdala_params = self.amygdala.init(
+                amy_key, jnp.zeros((1, 4, cfg.embedding_dim)))
+        self.endocrine = (EndocrineSystem() if tcfg.enable_endocrine
+                          else None)
+        self.thalamus = None
+        self.thalamus_params = None
+        if tcfg.enable_thalamus:
+            # single-region routing, as the reference's LM loop wires it
+            # (colab_l4_training.py:829: region_names=['language'], top_k=1)
+            self.thalamus = Thalamus(
+                cfg.embedding_dim, ("language",), top_k=1)
+            self.thalamus_params = self.thalamus.init(
+                amy_key, jnp.zeros((1, 4, cfg.embedding_dim)))
+
+        self.mesh = None
+        self.replay = ReplayBuffer(tcfg.replay_buffer_size)
+        self.ewc = EWCConsolidator(tcfg.ewc_lambda)
+        self._np_rng = np.random.RandomState(seed)
+        self._memory_gate_scale = 1.0
+        self._thalamus_scale = 1.0
+        self.history: Dict[str, list] = {"loss": [], "step": []}
+
+        self._step_fns: Dict[Tuple[bool, bool, bool], Any] = {}
+
+    # ------------------------------------------------------------------
+    # multi-device placement
+    # ------------------------------------------------------------------
+    def shard_to_mesh(self, mesh) -> None:
+        """Place the trainer's state onto a ('data','model') mesh: params
+        tensor-parallel per the TP rules, optimizer state mirrors params,
+        memory bank + modulators replicated, batches sharded over 'data'
+        (by `train_step` on entry)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from aura_snn_rag_tpu.parallel.mesh import shard_params
+
+        params = shard_params(self.state.params, mesh)
+        opt_state = self.tx.init(params)  # zeros_like inherits shardings
+        self.state = TrainState(params, opt_state, self.state.step)
+
+        repl = NamedSharding(mesh, P())
+        put_repl = lambda t: jax.tree.map(
+            lambda x: jax.device_put(x, repl), t)
+        self.hippocampus.state = put_repl(self.hippocampus.state)
+        if self.amygdala_params is not None:
+            self.amygdala_params = put_repl(self.amygdala_params)
+        if self.thalamus_params is not None:
+            self.thalamus_params = put_repl(self.thalamus_params)
+        self.mesh = mesh
+        self._step_fns.clear()
+
+    def _place_batch(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(jnp.asarray(x),
+                              NamedSharding(self.mesh, P("data")))
+
+    # ------------------------------------------------------------------
+    # jitted step builders
+    # ------------------------------------------------------------------
+    def _build_step(self, use_memory: bool, store_memory: bool,
+                    reverse_replay: bool):
+        model = self.model
+        cfg = self.config.model
+        tcfg = self.config.training
+        mcfg = self.config.memory
+        tx = self.tx
+        amygdala = self.amygdala
+        thalamus = self.thalamus
+        ewc = self.ewc
+
+        def step_fn(state: TrainState, memory_state: MemoryState,
+                    input_ids, labels, lr_scale, dropout_rng,
+                    amygdala_params, thalamus_params):
+            # --- prosody from amygdala on token embeddings (stop-grad) ---
+            prosody = None
+            thalamus_scale = jnp.ones(())
+            if amygdala is not None or thalamus is not None:
+                emb_table = state.params["params"]["semantic_encoder"][
+                    "token_embedding"]["embedding"]
+                token_embeds = jax.lax.stop_gradient(
+                    jnp.asarray(emb_table)[input_ids].astype(jnp.float32))
+            if amygdala is not None:
+                limbic = amygdala.apply(amygdala_params, token_embeds)
+                prosody = build_prosody(
+                    limbic["arousal"], limbic["valence"],
+                    input_ids.shape[0], input_ids.shape[1])
+                arousal = limbic["arousal"]
+            else:
+                arousal = jnp.zeros(())
+            if thalamus is not None:
+                routed, _ = thalamus.apply(
+                    thalamus_params, token_embeds,
+                    {"arousal": arousal})
+                lang = routed["language"]
+                thalamus_scale = jnp.clip(
+                    jnp.abs(lang).mean(), 0.5, 1.5)
+
+            def loss_fn(params):
+                out, _ = model.apply(
+                    params, input_ids, prosody=prosody,
+                    use_memory=use_memory,
+                    memory_state=memory_state if cfg.use_rag else None,
+                    rngs={"dropout": dropout_rng})
+                logits = out.logits[:, :-1]
+                ce = hippocampal_loss(
+                    logits, labels[:, 1:], None,
+                    label_smoothing=0.0, entropy_lambda=0.0,
+                    sparsity_lambda=0.0)
+                loss = hippocampal_loss(
+                    logits, labels[:, 1:], out.place_activity,
+                    label_smoothing=tcfg.label_smoothing,
+                    entropy_lambda=tcfg.entropy_lambda,
+                    sparsity_lambda=tcfg.sparsity_lambda,
+                    target_sparsity=tcfg.target_sparsity)
+                if reverse_replay:
+                    out_r, _ = model.apply(
+                        params, input_ids[:, ::-1], prosody=prosody,
+                        use_memory=use_memory,
+                        memory_state=memory_state if cfg.use_rag else None,
+                        rngs={"dropout": dropout_rng})
+                    loss = loss + 0.5 * hippocampal_loss(
+                        out_r.logits[:, :-1], labels[:, ::-1][:, 1:], None,
+                        label_smoothing=tcfg.label_smoothing,
+                        entropy_lambda=tcfg.entropy_lambda,
+                        sparsity_lambda=0.0)
+                if ewc.fisher is not None:
+                    loss = loss + ewc.penalty(params)
+                return loss, (ce, out)
+
+            (loss, (ce, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(state.params, updates)
+
+            if store_memory:
+                B = input_ids.shape[0]
+                memory_state = memory_engine.write_memories(
+                    mcfg, memory_state, out.memory_summary,
+                    jnp.zeros((B, mcfg.spatial_dims)))
+            memory_state = memory_engine.tick(memory_state, 1.0)
+
+            new_state = TrainState(params, opt_state, state.step + 1)
+            metrics = {"loss": loss, "ce": ce,
+                       "thalamus_scale": thalamus_scale}
+            return new_state, memory_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def _get_step_fn(self, use_memory, store_memory, reverse_replay=False):
+        key = (use_memory, store_memory, reverse_replay)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(*key)
+        return self._step_fns[key]
+
+    # ------------------------------------------------------------------
+    # public stepping API
+    # ------------------------------------------------------------------
+    def train_step(self, input_ids, labels) -> Dict[str, float]:
+        """One wake step with full modulator coupling."""
+        tcfg = self.config.training
+        step = int(self.state.step)
+
+        base_on = step >= tcfg.memory_warmup_steps
+        use_memory = bool(
+            base_on and self._memory_gate_scale * self._thalamus_scale >= 0.9)
+        store_memory = bool(use_memory
+                            and step % tcfg.memory_store_interval == 0)
+
+        self.rng, sub = jax.random.split(self.rng)
+        lr_scale = jnp.asarray(
+            EndocrineSystem.lr_scale(self._last_hormones())
+            if self.endocrine else 1.0, jnp.float32)
+
+        fn = self._get_step_fn(use_memory, store_memory)
+        self.state, self.hippocampus.state, metrics = fn(
+            self.state, self.hippocampus.state,
+            self._place_batch(input_ids), self._place_batch(labels), lr_scale, sub,
+            self.amygdala_params, self.thalamus_params)
+
+        loss = float(metrics["loss"])
+        self._thalamus_scale = float(metrics["thalamus_scale"])
+        if self.endocrine is not None:
+            levels = self.endocrine.step({
+                "accuracy": max(0.0, min(1.0, float(np.exp(-loss)))),
+                "gate_diversity": 0.5,
+                "energy": 0.1,
+            })
+            self._hormones = levels
+            self._memory_gate_scale = EndocrineSystem.memory_gate(levels)
+
+        self.replay.add(np.asarray(input_ids), np.asarray(labels), loss)
+        self.history["loss"].append(loss)
+        self.history["step"].append(step)
+
+        # periodic decay (colab_l4_training.py:686-691)
+        if step > 0 and step % tcfg.eval_steps == 0:
+            self.hippocampus.decay_memories(tcfg.memory_decay_rate)
+
+        # sleep phase
+        if (step > 0 and step % tcfg.sleep_interval == 0
+                and len(self.replay) > 0):
+            self.sleep_phase()
+
+        return {"loss": loss, "ce": float(metrics["ce"]),
+                "use_memory": use_memory, "step": step}
+
+    def sleep_phase(self):
+        """Replay + time-reversed replay consolidation
+        (hippocampal_trainer.py:327-348)."""
+        tcfg = self.config.training
+        for input_ids, labels, _ in self.replay.sample(
+                tcfg.sleep_replay_batches, self._np_rng):
+            self.rng, sub = jax.random.split(self.rng)
+            fn = self._get_step_fn(False, False, reverse_replay=True)
+            self.state, self.hippocampus.state, _ = fn(
+                self.state, self.hippocampus.state,
+                self._place_batch(input_ids), self._place_batch(labels),
+                jnp.ones(()), sub, self.amygdala_params,
+                self.thalamus_params)
+
+    def consolidate_ewc(self, val_batches):
+        """Compute Fisher on validation batches and anchor current params."""
+        model = self.eval_model
+        cfg = self.config.model
+
+        @jax.jit
+        def grad_fn(params, batch):
+            input_ids, labels = batch
+
+            def lf(p):
+                out, _ = model.apply(p, input_ids, use_memory=False)
+                return hippocampal_loss(out.logits[:, :-1], labels[:, 1:],
+                                        entropy_lambda=0.0,
+                                        label_smoothing=0.0)
+            return jax.grad(lf)(params)
+
+        self.ewc.consolidate(grad_fn, self.state.params, val_batches)
+        # step functions capture self.ewc.fisher at trace time → rebuild
+        self._step_fns.clear()
+
+    def _last_hormones(self):
+        return getattr(self, "_hormones", {})
+
+    def eval_loss(self, input_ids, labels) -> float:
+        out, _ = self.eval_model.apply(
+            self.state.params, jnp.asarray(input_ids), use_memory=False)
+        return float(hippocampal_loss(
+            out.logits[:, :-1], jnp.asarray(labels)[:, 1:],
+            entropy_lambda=0.0, label_smoothing=0.0))

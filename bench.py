@@ -1,0 +1,215 @@
+"""North-star benchmark: episodic retrieval QPS/chip at 1M vectors.
+
+BASELINE.json metric: "recall@10 vs brute-force; queries/sec/chip and index
+build time at 1M vectors"; target ≥10× QPS/chip over the Python baseline at
+matched recall@10.
+
+- TPU side: this framework's IVF engine (bulk_load → rebuild → batched
+  `retrieve`) on the real chip.
+- Baseline side: a fresh numpy/torch implementation of the *reference's
+  retrieval math* (/root/reference/src/core/hippocampal.py:245-319 —
+  centroid probe → per-centroid membership masks → cosine/temporal·strength
+  scoring → top-k) with the reference's index knobs (k_centroids=256,
+  probe 8), run on host CPU, which is what the pure-PyTorch reference does
+  in practice on non-GPU hosts.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# knobs (overridable for smoke runs: python bench.py --small)
+SMALL = "--small" in sys.argv
+N = 100_000 if SMALL else 1_000_000
+D = 768
+# index partition scales ~sqrt(N): finer K + proportional probe keeps the
+# scanned fraction ~3% (like the reference's 8/256) while bounding cluster
+# skew so the static bucket capacity doesn't truncate dense clusters
+K = 1024 if SMALL else 4096
+PROBE = 32 if SMALL else 64
+LLOYD_ITERS = 2
+TOPK = 10
+QUERY_BATCH = 32
+N_QUERY_BATCHES = 8
+BASELINE_QUERIES = 8 if SMALL else 16
+BASELINE_K = 256      # the reference's own defaults (hippocampal.py:114,:262)
+BASELINE_PROBE = 8
+
+
+def make_data(n, d, n_centers=1024, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_centers, d).astype(np.float32) * 2.0
+    assign = rng.randint(0, n_centers, n)
+    feats = centers[assign] + rng.randn(n, d).astype(np.float32)
+    return feats, centers
+
+
+def tpu_bench(feats, queries):
+    import jax
+    import jax.numpy as jnp
+    from aura_snn_rag_tpu.config import MemoryConfig
+    from aura_snn_rag_tpu.memory import (
+        init_memory_state, rebuild_centroids, retrieve)
+    from aura_snn_rag_tpu.memory.engine import bulk_load
+
+    cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
+                       probe_centroids=PROBE, retrieve_k=TOPK,
+                       bucket_overprovision=2.0,
+                       rebuild_lloyd_iters=LLOYD_ITERS,
+                       n_place_cells=16, n_grid_cells=8, n_time_cells=4)
+    state = init_memory_state(cfg)
+    f = jnp.asarray(feats)
+    state = bulk_load(cfg, state, f, jnp.zeros((N, 2), jnp.float32))
+
+    # NOTE: on the axon tunnel platform block_until_ready does not reliably
+    # synchronize; a host transfer (np.asarray) of a small output is the
+    # fence we use for all timings.
+    t0 = time.perf_counter()
+    state = rebuild_centroids(cfg, state, jax.random.PRNGKey(0))
+    np.asarray(state.centroid_counts)
+    build_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state = rebuild_centroids(cfg, state, jax.random.PRNGKey(1))
+    np.asarray(state.centroid_counts)
+    build_s = time.perf_counter() - t0          # warm (no compile)
+
+    q = jnp.asarray(queries)
+    batches = [q[i * QUERY_BATCH:(i + 1) * QUERY_BATCH]
+               for i in range(N_QUERY_BATCHES)]
+    # warmup (compile)
+    res = retrieve(cfg, state, batches[0], None, TOPK)
+    np.asarray(res.indices)
+
+    t0 = time.perf_counter()
+    results = []
+    for b in batches:
+        results.append(retrieve(cfg, state, b, None, TOPK))
+    np.asarray(results[-1].indices)             # host fence
+    dt = time.perf_counter() - t0
+    qps = (N_QUERY_BATCHES * QUERY_BATCH) / dt
+
+    approx_idx = np.concatenate([np.asarray(r.indices) for r in results])
+    return qps, build_s, build_cold_s, approx_idx, state
+
+
+def exact_topk_numpy(feats, queries, k):
+    """Exact combined-score top-k (cosine + temporal·strength; all strengths
+    1 and ages 0 here, so ranking reduces to cosine)."""
+    fn = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
+    qn = queries / (np.linalg.norm(queries, axis=1, keepdims=True) + 1e-12)
+    out = np.zeros((len(queries), k), np.int64)
+    for i in range(0, len(queries), 8):
+        cos = qn[i:i + 8] @ fn.T
+        out[i:i + 8] = np.argpartition(-cos, k, axis=1)[:, :k]
+        # order within top-k
+        row = cos[np.arange(len(cos))[:, None], out[i:i + 8]]
+        order = np.argsort(-row, axis=1)
+        out[i:i + 8] = out[i:i + 8][np.arange(len(cos))[:, None], order]
+    return out
+
+
+def recall_at_k(approx, exact):
+    return float(np.mean([
+        len(set(a.tolist()) & set(e.tolist())) / exact.shape[1]
+        for a, e in zip(approx, exact)]))
+
+
+class ReferenceMathIndex:
+    """The reference's centroid index math, implemented fresh in torch-CPU.
+
+    Build: sample-k init + 1 Lloyd iteration (hippocampal.py:345-377).
+    Query: top-8 centroid probe, per-centroid membership mask loop
+    (:262-270), normalized-matmul cosine, combined score × strength, top-k
+    (:272-307). Strength/temporal terms are constant here (fresh bank).
+    """
+
+    def __init__(self, feats_np, k_centroids=BASELINE_K, seed=0):
+        import torch
+        self.torch = torch
+        t = torch
+        self.feats = t.from_numpy(feats_np)
+        n = self.feats.shape[0]
+        g = t.Generator().manual_seed(seed)
+        perm = t.randperm(n, generator=g)[:k_centroids]
+        cents = self.feats[perm].clone()
+        # one Lloyd iteration, chunked cdist
+        assign = t.empty(n, dtype=t.long)
+        for i in range(0, n, 131072):
+            d = t.cdist(self.feats[i:i + 131072], cents)
+            assign[i:i + 131072] = d.argmin(dim=1)
+        for cid in range(k_centroids):
+            m = assign == cid
+            if m.any():
+                cents[cid] = self.feats[m].mean(dim=0)
+        for i in range(0, n, 131072):
+            d = t.cdist(self.feats[i:i + 131072], cents)
+            assign[i:i + 131072] = d.argmin(dim=1)
+        self.centroids = cents
+        self.assign = assign
+        self.feats_norm = t.nn.functional.normalize(self.feats, dim=1)
+
+    def query(self, q_np, k=TOPK, probe=BASELINE_PROBE):
+        t = self.torch
+        q = t.from_numpy(q_np)
+        c_d = t.norm(self.centroids - q, dim=1)
+        top_c = t.topk(-c_d, k=probe).indices
+        mask = t.zeros_like(self.assign, dtype=t.bool)
+        for cid in top_c:                       # reference's Python loop
+            mask |= (self.assign == cid)
+        cand = t.nonzero(mask, as_tuple=False).squeeze(-1)
+        qn = t.nn.functional.normalize(q.unsqueeze(0), dim=1)
+        sims = (qn @ self.feats_norm[cand].T).squeeze(0)
+        kk = min(k, cand.numel())
+        top = t.topk(sims, kk)
+        return cand[top.indices].numpy()
+
+
+def main():
+    feats, centers = make_data(N, D)
+    rng = np.random.RandomState(1)
+    pick = rng.randint(0, N, QUERY_BATCH * N_QUERY_BATCHES)
+    queries = feats[pick] + 0.5 * rng.randn(len(pick), D).astype(np.float32)
+
+    qps, build_s, build_cold_s, approx_idx, _ = tpu_bench(feats, queries)
+
+    # exact ground truth on a subsample of queries (numpy, f64-safe)
+    n_eval = min(64, len(queries))
+    exact = exact_topk_numpy(feats, queries[:n_eval], TOPK)
+    recall = recall_at_k(approx_idx[:n_eval], exact)
+
+    # --- Python baseline (reference math) ---
+    t0 = time.perf_counter()
+    ref = ReferenceMathIndex(feats)
+    ref_build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ref_results = [ref.query(queries[i]) for i in range(BASELINE_QUERIES)]
+    ref_dt = time.perf_counter() - t0
+    ref_qps = BASELINE_QUERIES / ref_dt
+    ref_recall = recall_at_k(
+        np.stack([r[:TOPK] for r in ref_results]),
+        exact[:BASELINE_QUERIES])
+
+    print(json.dumps({
+        "metric": f"episodic retrieval QPS/chip @ {N} vectors (recall@10 matched)",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / ref_qps, 2),
+        "recall_at_10": round(recall, 4),
+        "baseline_recall_at_10": round(ref_recall, 4),
+        "baseline_qps": round(ref_qps, 2),
+        "index_build_s": round(build_s, 3),
+        "index_build_cold_s": round(build_cold_s, 3),
+        "baseline_build_s": round(ref_build_s, 3),
+        "n_vectors": N,
+    }))
+
+
+if __name__ == "__main__":
+    main()
