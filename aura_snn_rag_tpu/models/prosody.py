@@ -1,0 +1,183 @@
+"""Prosody-driven spiking attention chain.
+
+Parity map:
+- `multi_channel_spiking_attention` ↔ `MultiChannelSpikingAttention`
+  (/root/reference/src/core/language_zone/multi_channel_attention.py:6-52):
+  three LIF chains over (amp, pitch, boundary) channels, weighted salience
+  sum, optional smoothing, max-normalize, top-k winners → scalar gain
+  `min + range·tanh(gain_up·avg_winner)`. The per-timestep LIF loop becomes
+  a `lax.scan` (the reset makes it nonlinear — no associative scan).
+- `prosody_channels_from_tokens` ↔ `prosody_channels_from_text`
+  (multi_channel_attention.py:54-62): deterministic sin/cos hashes of ids.
+- `prosody_attention_gains` ↔ `ProsodyAttentionBridge`
+  (prosody_attention.py:10-37): gain = mu·(1 + salience).
+- `CachedProsodyBridge` ↔ `OptimizedProsodyAttentionBridge`
+  (optimized_prosody_attention.py:30-330): content-keyed LRU cache of
+  channels + the 'analytical_balanced' preset + hit/miss stats.
+- `prosody_gif_scan` ↔ `ProsodyModulatedGIF` (prosody_gif.py:8-108): GIF
+  with attention-gain-modulated input gain, threshold
+  (1 − 0.3·(g−1), clamp [0.5, 1.5]) and adaptation rate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import OrderedDict
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aura_snn_rag_tpu.ops.surrogate import multi_bit_spike
+from aura_snn_rag_tpu.ops.neurons import GIFParams
+
+
+class ProsodyAttentionConfig(NamedTuple):
+    k_winners: int = 5
+    decay: Tuple[float, float, float] = (0.7, 0.7, 0.7)
+    weights: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    gain_up: float = 1.8
+    min_gain: float = 0.5
+    max_gain: float = 2.5
+    smoothing: int = 0
+    normalize_salience: bool = True
+
+
+ANALYTICAL_BALANCED = ProsodyAttentionConfig(
+    k_winners=7, decay=(0.75, 0.7, 0.65), weights=(1.0, 0.8, 1.2),
+    gain_up=1.5, min_gain=0.6, max_gain=2.0, smoothing=3)
+
+
+def prosody_channels_from_tokens(token_ids: jax.Array
+                                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Deterministic (amp, pitch, boundary) channels from token ids."""
+    t = token_ids.astype(jnp.float32)
+    amp = jnp.abs(jnp.sin(t * 0.1))
+    pitch = jnp.abs(jnp.cos(t * 0.05))
+    boundary = (jnp.sin(t * 0.3) > 0.8).astype(jnp.float32)
+    return amp, pitch, boundary
+
+
+def _lif_chain(x: jax.Array, decay: float, theta: float = 1.0) -> jax.Array:
+    """Binary LIF with reset over [B, T] drive."""
+
+    def step(v, xt):
+        v = decay * v + xt
+        s = (v >= theta).astype(x.dtype)
+        return v - s * theta, s
+
+    _, spikes = jax.lax.scan(step, jnp.zeros(x.shape[0], x.dtype),
+                             jnp.moveaxis(x, 1, 0))
+    return jnp.moveaxis(spikes, 0, 1)
+
+
+def multi_channel_spiking_attention(
+        amp: jax.Array, pitch: jax.Array, boundary: jax.Array,
+        cfg: ProsodyAttentionConfig = ProsodyAttentionConfig()
+) -> Dict[str, jax.Array]:
+    """(amp, pitch, boundary) [B, T] → {'mu_scalar', 'salience', 'winners'}."""
+    s = (cfg.weights[0] * _lif_chain(amp, cfg.decay[0])
+         + cfg.weights[1] * _lif_chain(pitch, cfg.decay[1])
+         + cfg.weights[2] * _lif_chain(boundary, cfg.decay[2]))
+
+    if cfg.smoothing > 1:
+        k = jnp.ones((cfg.smoothing,)) / cfg.smoothing
+        s = jax.vmap(lambda row: jnp.convolve(row, k, mode="same"))(s)
+
+    if cfg.normalize_salience:
+        s = s / (s.max(axis=1, keepdims=True) + 1e-6)
+
+    topk_vals, topk_idx = jax.lax.top_k(s, min(cfg.k_winners, s.shape[1]))
+    avg_winner = topk_vals.mean(axis=1)
+    mu = cfg.min_gain + (cfg.max_gain - cfg.min_gain) * jnp.tanh(
+        cfg.gain_up * avg_winner)
+    return {"mu_scalar": mu, "salience": s, "winners": topk_idx}
+
+
+def prosody_attention_gains(token_ids: jax.Array,
+                            cfg: ProsodyAttentionConfig =
+                            ProsodyAttentionConfig()
+                            ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """[B, T] ids → per-token gains mu·(1+salience) [B, T] + details."""
+    amp, pitch, boundary = prosody_channels_from_tokens(token_ids)
+    result = multi_channel_spiking_attention(amp, pitch, boundary, cfg)
+    gains = result["mu_scalar"][:, None] * (1.0 + result["salience"])
+    return gains, result
+
+
+class CachedProsodyBridge:
+    """Content-keyed LRU cache over the prosody channel computation."""
+
+    def __init__(self, cfg: ProsodyAttentionConfig = ANALYTICAL_BALANCED,
+                 cache_size: int = 256):
+        self.cfg = cfg
+        self.cache_size = cache_size
+        self._cache: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+        self._jit_gains = jax.jit(
+            lambda ids: prosody_attention_gains(ids, self.cfg))
+
+    def __call__(self, token_ids) -> jax.Array:
+        ids = np.asarray(token_ids)
+        key = hashlib.md5(ids.tobytes()).hexdigest()
+        if key in self._cache:
+            self.hits += 1
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        self.misses += 1
+        gains, _ = self._jit_gains(jnp.asarray(ids))
+        self._cache[key] = gains
+        if len(self._cache) > self.cache_size:
+            self._cache.popitem(last=False)
+        return gains
+
+    @property
+    def stats(self) -> Dict[str, float]:
+        total = self.hits + self.misses
+        return {"hits": self.hits, "misses": self.misses,
+                "hit_rate": self.hits / total if total else 0.0}
+
+
+def prosody_gif_scan(params: GIFParams, currents: jax.Array,
+                     attention_gains: Optional[jax.Array] = None,
+                     modulation_strength: float = 0.3,
+                     state: Optional[Tuple[jax.Array, jax.Array]] = None
+                     ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """GIF dynamics over [B, T, D] with per-timestep prosody modulation.
+
+    gain g_t modulates: input (×g), effective threshold
+    (θ·clamp(1 − 0.3(g−1), 0.5, 1.5)), and adaptation rate (α·g).
+    """
+    p = params
+    B, T, D = currents.shape
+    if attention_gains is None:
+        attention_gains = jnp.ones((B, T), currents.dtype)
+    if state is None:
+        v0 = jnp.zeros((B, D), currents.dtype)
+        th0 = jnp.full((B, D), p.threshold, currents.dtype)
+    else:
+        v0, th0 = state
+
+    def step(carry, xs):
+        v, theta = carry
+        i_t, g_t = xs
+        g = g_t[:, None]
+        i_t = i_t * g
+        v = v * p.decay + i_t
+        thr_scale = jnp.clip(1.0 - modulation_strength * (g - 1.0),
+                             0.5, 1.5)
+        theta_eff = theta * thr_scale
+        clamp = p.levels * theta_eff * 2.0
+        v = jnp.clip(v, -clamp, clamp)
+        spk = multi_bit_spike(v / (theta_eff + 1e-6), p.levels)
+        v = v - spk * theta_eff
+        alpha_eff = p.alpha * g
+        theta = theta + alpha_eff * spk - alpha_eff * (theta - p.threshold)
+        return (v, theta), spk
+
+    (v, theta), spikes = jax.lax.scan(
+        step, (v0, th0),
+        (jnp.moveaxis(currents, 1, 0), jnp.moveaxis(attention_gains, 1, 0)))
+    return jnp.moveaxis(spikes, 0, 1), (v, theta)

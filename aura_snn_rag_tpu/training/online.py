@@ -172,7 +172,10 @@ def whiten_update(state: WhitenerState, x: jax.Array,
     bv = x.var(axis=0)
     first = state.count == 0
     mean = jnp.where(first, bm, (1 - momentum) * state.mean + momentum * bm)
-    var = jnp.where(first, bv, (1 - momentum) * state.var + momentum * bv)
+    # single-sample first batch has zero variance — keep the unit prior
+    use_bv = first & (x.shape[0] > 1)
+    var = jnp.where(use_bv, bv, (1 - momentum) * state.var + momentum * bv)
+    var = jnp.where(first & (x.shape[0] <= 1), state.var, var)
     out = (x - mean) / jnp.sqrt(var + 1e-8)
     return WhitenerState(mean, var, state.count + 1), out
 

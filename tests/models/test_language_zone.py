@@ -1,0 +1,143 @@
+"""Prosody chain + spiking MoE language zone tests — mirrors the
+reference's prosody benchmark semantics and test_snn_rag zone sections."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aura_snn_rag_tpu.models.language_zone import (
+    ExpertBank, FullLanguageZone, MoELanguageZone, SNNExpert)
+from aura_snn_rag_tpu.models.prosody import (
+    ANALYTICAL_BALANCED, CachedProsodyBridge, ProsodyAttentionConfig,
+    multi_channel_spiking_attention, prosody_attention_gains,
+    prosody_channels_from_tokens, prosody_gif_scan)
+from aura_snn_rag_tpu.ops.neurons import gif_params
+from aura_snn_rag_tpu.ops.snn_ops import (
+    piecewise_silu, snn_matmul, snn_rmsnorm, snn_softmax)
+from aura_snn_rag_tpu.ops.spike_bridge import (
+    continuous_to_spikes, spikes_to_continuous)
+
+
+class TestSpikeBridges:
+    def test_rate_bridge(self):
+        s = jnp.asarray([[[1.0, 0.0], [1.0, 1.0]]])  # [1, T=2, D=2]
+        np.testing.assert_allclose(
+            spikes_to_continuous(s, "rate"), [[1.0, 0.5]])
+
+    def test_temporal_bridge_recency(self):
+        early = jnp.zeros((1, 4, 1)).at[0, 0, 0].set(1.0)
+        late = jnp.zeros((1, 4, 1)).at[0, 3, 0].set(1.0)
+        assert float(spikes_to_continuous(late, "temporal")[0, 0]) > \
+            float(spikes_to_continuous(early, "temporal")[0, 0])
+
+    def test_phase_bridge_finite(self):
+        s = (jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 4)) > 0.5
+             ).astype(jnp.float32)
+        out = spikes_to_continuous(s, "phase")
+        assert out.shape == (2, 4)
+        assert jnp.all(jnp.abs(out) <= 1.0 + 1e-6)
+
+    def test_poisson_encode_rate_tracks_sigmoid(self):
+        x = jnp.asarray([[-5.0, 0.0, 5.0]])
+        s = continuous_to_spikes(x, 64, jax.random.PRNGKey(0), "poisson")
+        rates = np.asarray(s.mean(axis=-2))[0]
+        assert rates[0] < 0.15 and abs(rates[1] - 0.5) < 0.2 \
+            and rates[2] > 0.85
+
+    def test_temporal_encode_monotone(self):
+        x = jnp.asarray([[0.0, 3.0]])
+        s = continuous_to_spikes(x, 4, jax.random.PRNGKey(0), "temporal")
+        assert s[..., 1].sum() > s[..., 0].sum()
+
+
+class TestSNNOps:
+    def test_snn_matmul_scaling(self):
+        s = jnp.ones((2, 16))
+        w = jnp.ones((16, 4))
+        np.testing.assert_allclose(snn_matmul(s, w), 16 / 4.0, rtol=1e-5)
+
+    def test_piecewise_silu_close_to_silu(self):
+        x = jnp.linspace(-3, 3, 50)
+        err = jnp.abs(piecewise_silu(x) - jax.nn.silu(x)).max()
+        assert float(err) < 0.5  # LUT approximation tolerance
+
+    def test_rmsnorm(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 8)) * 3
+        out = snn_rmsnorm(x, jnp.ones(8))
+        rms = jnp.sqrt((out ** 2).mean(axis=-1))
+        np.testing.assert_allclose(np.asarray(rms), 1.0, rtol=1e-3)
+
+
+class TestProsody:
+    def test_channels_deterministic(self):
+        ids = jnp.asarray([[1, 2, 3]])
+        a1, p1, b1 = prosody_channels_from_tokens(ids)
+        a2, p2, b2 = prosody_channels_from_tokens(ids)
+        np.testing.assert_array_equal(a1, a2)
+        assert a1.shape == (1, 3)
+
+    def test_attention_gains_bounds(self):
+        ids = jnp.arange(32).reshape(1, 32)
+        gains, info = prosody_attention_gains(ids)
+        assert gains.shape == (1, 32)
+        cfg = ProsodyAttentionConfig()
+        assert float(info["mu_scalar"][0]) <= cfg.max_gain
+        assert float(info["mu_scalar"][0]) >= cfg.min_gain
+        assert float(gains.max()) <= cfg.max_gain * 2.0 + 1e-5
+
+    def test_cached_bridge_lru(self):
+        bridge = CachedProsodyBridge(ANALYTICAL_BALANCED, cache_size=2)
+        ids = np.arange(16).reshape(1, 16)
+        g1 = bridge(ids)
+        g2 = bridge(ids)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        assert bridge.stats["hits"] == 1 and bridge.stats["misses"] == 1
+
+    def test_prosody_gif_high_gain_spikes_more(self):
+        p = gif_params(levels=8)
+        x = jnp.ones((1, 8, 16)) * 0.8
+        low, _ = prosody_gif_scan(p, x, jnp.full((1, 8), 0.5))
+        high, _ = prosody_gif_scan(p, x, jnp.full((1, 8), 2.0))
+        assert float(high.sum()) > float(low.sum())
+
+
+class TestLanguageZones:
+    def test_snn_expert(self, rng):
+        ex = SNNExpert(hidden_dim=16, output_dim=8)
+        x = jax.random.normal(rng, (2, 4, 16))
+        params = ex.init(rng, x)
+        out = ex.apply(params, x)
+        assert out.shape == (2, 8)
+
+    def test_expert_bank_distinct_experts(self, rng):
+        bank = ExpertBank(num_experts=3, hidden_dim=8, output_dim=4)
+        x = jax.random.normal(rng, (2, 4, 8))
+        params = bank.init(rng, x)
+        out = bank.apply(params, x)
+        assert out.shape == (2, 3, 4)
+        # different experts → different outputs
+        assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]))
+
+    def test_full_language_zone(self, rng):
+        zone = FullLanguageZone(d_model=32, num_experts=4, top_k=2)
+        ids = jnp.arange(8).reshape(1, 8)
+        feats = jax.random.normal(rng, (1, 8, 32))
+        params = zone.init(rng, ids, feats)
+        out, info = zone.apply(params, ids, feats, rng)
+        assert out.shape == (1, 32)
+        assert jnp.all(jnp.isfinite(out))
+        assert info["routing"]["weights"].shape == (1, 2)
+
+    def test_moe_language_zone_lm(self, rng):
+        lm = MoELanguageZone(vocab_size=100, d_model=32, num_experts=4)
+        ids = jnp.arange(8).reshape(1, 8)
+        params = lm.init(rng, ids)
+        logits, info = lm.apply(params, ids, rng)
+        assert logits.shape == (1, 100)
+
+        def loss(p):
+            lg, _ = lm.apply(p, ids, rng)
+            return lg.sum()
+
+        g = jax.grad(loss)(params)
+        assert any(jnp.any(l != 0) for l in jax.tree.leaves(g))
