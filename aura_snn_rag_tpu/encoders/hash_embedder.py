@@ -5,16 +5,60 @@ fast_hash_embedder.py:10-99): byte n-grams (sizes 2..5) hashed (FNV-1a) into
 a fixed-dim embedding, accumulated and L2-normalized; a token-index path
 returns hashed ids for the STDP learner.
 
-Host-side feature extraction (text never touches the device); the hot loop
-is vectorized numpy over a byte matrix. A C++ drop-in with the same API is
-the planned native data-loader path.
+Host-side feature extraction (text never touches the device). Two
+implementations with identical outputs:
+- native C++ (native/hash_embedder.cpp via ctypes) — the ingestion hot
+  path, used automatically when native/libaura_native.so is built;
+- vectorized numpy fallback.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import ctypes
+import os
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def _load_native():
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+    path = os.path.join(native_dir, "libaura_native.so")
+    if not os.path.exists(path):
+        # best-effort one-time build (g++ is in the image)
+        src = os.path.join(native_dir, "hash_embedder.cpp")
+        if os.path.exists(src):
+            import subprocess
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", path, src],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.aura_hash_embed.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.aura_hash_embed_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.aura_token_indices.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int64]
+        lib.aura_token_indices.restype = ctypes.c_int
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE = _load_native()
 
 _FNV_OFFSET = np.uint64(1469598103934665603)
 _FNV_PRIME = np.uint64(1099511628211)
@@ -33,10 +77,14 @@ class FastHashEmbedder:
     """n-gram hash embeddings: deterministic, vocabulary-free."""
 
     def __init__(self, dim: int = 768, ngram_sizes: Sequence[int] = (2, 3, 4, 5),
-                 token_vocab: int = 32000):
+                 token_vocab: int = 32000, use_native: bool = True):
         self.dim = dim
         self.ngram_sizes = tuple(ngram_sizes)
         self.token_vocab = token_vocab
+        self._native = _NATIVE if use_native else None
+        if self._native is not None:
+            self._ng = (ctypes.c_int * len(self.ngram_sizes))(
+                *self.ngram_sizes)
 
     def _ngrams(self, data: np.ndarray, n: int) -> np.ndarray:
         if len(data) < n:
@@ -47,6 +95,15 @@ class FastHashEmbedder:
     def embed(self, text: str) -> np.ndarray:
         """text → L2-normalized [dim] float32 embedding."""
         data = np.frombuffer(text.encode("utf-8", "ignore"), np.uint8)
+        if self._native is not None:
+            out = np.zeros(self.dim, np.float32)
+            buf = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) \
+                if len(data) else (ctypes.c_uint8 * 1)()
+            self._native.aura_hash_embed(
+                buf, len(data),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.dim, self._ng, len(self.ngram_sizes))
+            return out
         vec = np.zeros(self.dim, np.float32)
         for n in self.ngram_sizes:
             grams = self._ngrams(data, n)
@@ -60,10 +117,34 @@ class FastHashEmbedder:
         return vec / norm if norm > 0 else vec
 
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        if self._native is not None and texts:
+            blobs = [t.encode("utf-8", "ignore") for t in texts]
+            concat = np.frombuffer(b"".join(blobs), np.uint8).copy()
+            offsets = np.zeros(len(blobs) + 1, np.int64)
+            np.cumsum([len(b) for b in blobs], out=offsets[1:])
+            out = np.zeros((len(blobs), self.dim), np.float32)
+            buf = concat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) \
+                if len(concat) else (ctypes.c_uint8 * 1)()
+            self._native.aura_hash_embed_batch(
+                buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(blobs),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.dim, self._ng, len(self.ngram_sizes))
+            return out
         return np.stack([self.embed(t) for t in texts])
 
-    def token_indices(self, text: str) -> np.ndarray:
+    def token_indices(self, text: str, max_tokens: int = 4096) -> np.ndarray:
         """Hashed token ids (whitespace tokens → FNV-1a % vocab) for STDP."""
+        if self._native is not None:
+            data = np.frombuffer(text.encode("utf-8", "ignore"), np.uint8)
+            out = np.zeros(max_tokens, np.int64)
+            buf = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) \
+                if len(data) else (ctypes.c_uint8 * 1)()
+            n = self._native.aura_token_indices(
+                buf, len(data),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                max_tokens, self.token_vocab)
+            return out[:n]
         toks = text.split()
         if not toks:
             return np.zeros((0,), np.int64)

@@ -18,6 +18,12 @@ from aura_snn_rag_tpu.memory.engine import (  # noqa: F401
     rebuild_centroids,
 )
 from aura_snn_rag_tpu.memory.hippocampus import HippocampalFormation  # noqa: F401
+from aura_snn_rag_tpu.memory.sharded import (  # noqa: F401
+    init_sharded_memory,
+    write_memories_sharded,
+    retrieve_sharded,
+    rebuild_centroids_sharded,
+)
 from aura_snn_rag_tpu.memory.cognitive_map import (  # noqa: F401
     CognitiveMapParams,
     init_cognitive_map,
