@@ -84,7 +84,7 @@ def write_memories(config: MemoryConfig, state: MemoryState,
         centroid_counts = st.centroid_counts.at[cid].add(
             jnp.where(assign, 1.0, 0.0))
 
-        # clustered-store ring append
+        # clustered-store ring append (all scoring metadata cluster-aligned)
         pos = st.bucket_fill[cid] % C
         fn = _l2norm(f).astype(st.clustered.dtype)
         clustered = st.clustered.at[cid, pos].set(
@@ -93,10 +93,16 @@ def write_memories(config: MemoryConfig, state: MemoryState,
             jnp.where(assign, idx, st.cluster_slot[cid, pos]))
         cluster_gen = st.cluster_gen.at[cid, pos].set(
             jnp.where(assign, gen, st.cluster_gen[cid, pos]))
+        cluster_ts = st.cluster_ts.at[cid, pos].set(
+            jnp.where(assign, st.step, st.cluster_ts[cid, pos]))
+        cluster_decay = st.cluster_decay.at[cid, pos].set(
+            jnp.where(assign, st.decay_accum, st.cluster_decay[cid, pos]))
+        cluster_loc = st.cluster_loc.at[cid, pos].set(
+            jnp.where(assign, loc, st.cluster_loc[cid, pos]))
         bucket_fill = st.bucket_fill.at[cid].add(
             jnp.where(assign, 1, 0).astype(jnp.int32))
 
-        return MemoryState(
+        return st._replace(
             features=st.features.at[idx].set(f),
             locations=st.locations.at[idx].set(loc),
             strength=st.strength.at[idx].set(1.0),
@@ -108,10 +114,11 @@ def write_memories(config: MemoryConfig, state: MemoryState,
             clustered=clustered,
             cluster_slot=cluster_slot,
             cluster_gen=cluster_gen,
+            cluster_ts=cluster_ts,
+            cluster_decay=cluster_decay,
+            cluster_loc=cluster_loc,
             bucket_fill=bucket_fill,
             count=st.count + 1,
-            step=st.step,
-            index_ready=st.index_ready,
         ), None
 
     state, _ = jax.lax.scan(write_one, state, (features, locations))
@@ -193,22 +200,39 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
     cdist = c2[None, :] - 2.0 * qc
     _, top_c = jax.lax.top_k(-cdist, P)                         # [B, P]
 
-    # fetch candidate blocks: [B, P, C, D] contiguous gathers
+    # fetch candidate blocks: [B, P, C, D] contiguous gathers. ALL scoring
+    # metadata is cluster-aligned — no scattered per-entry bank gathers
+    # (those random scalar fetches dominated the runtime before).
     blocks = state.clustered[top_c]
     slots_raw = state.cluster_slot[top_c]                       # [B, P, C]
     gens = state.cluster_gen[top_c]
+    ts = state.cluster_ts[top_c]
+    gdecay = state.cluster_decay[top_c]
 
     cos = jnp.einsum("bpcd,bd->bpc", blocks.astype(jnp.float32), qn)
 
+    # FIFO liveness: slot g%M holds generation g iff g >= count - M
+    valid = (gens >= 0) & (gens >= state.count - state.max_memories)
     slots = jnp.maximum(slots_raw, 0)
-    valid = (slots_raw >= 0) & (gens == state.slot_gen[slots])
+
+    strength = jnp.exp(state.decay_accum - gdecay)
+    ages = (state.step - ts) * config.seconds_per_step
+    temporal = jnp.exp(-jnp.maximum(ages, 0.0) / config.temporal_tau)
+    if query_locations is not None:
+        locs = state.cluster_loc[top_c]                         # [B,P,C,S]
+        d = jnp.sqrt(jnp.sum(
+            (locs - query_locations[:, None, None, :]) ** 2, axis=-1)
+            + 1e-12)
+        spatial = 1.0 / (1.0 + d)
+    else:
+        spatial = jnp.zeros_like(cos)
+    combined = (config.w_cosine * cos + config.w_spatial * spatial
+                + config.w_temporal * temporal) * strength
 
     B = queries.shape[0]
-    cos = cos.reshape(B, -1)
+    combined = combined.reshape(B, -1)
     slots = slots.reshape(B, -1)
     valid = valid.reshape(B, -1)
-
-    combined = _combined_score(config, state, cos, slots, query_locations)
     combined = jnp.where(valid, combined, NEG_INF)
 
     # Coarse top-k' on bf16 scores, then exact f32 rerank from the bank
@@ -297,7 +321,9 @@ def retrieve_auto(config: MemoryConfig, state: MemoryState,
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _decay(state: MemoryState, rate) -> MemoryState:
-    return state._replace(strength=state.strength * (1.0 - rate))
+    return state._replace(
+        strength=state.strength * (1.0 - rate),
+        decay_accum=state.decay_accum + jnp.log(1.0 - rate))
 
 
 def decay_memories(state: MemoryState, decay_rate: float = 0.01) -> MemoryState:
@@ -421,6 +447,14 @@ def rebuild_centroids(config: MemoryConfig, state: MemoryState,
     normed = _l2norm(feats[order]).astype(state.clustered.dtype)
     clustered = jnp.zeros_like(state.clustered).at[row, col].set(
         normed, mode="drop")
+    cluster_ts = jnp.zeros_like(state.cluster_ts).at[row, col].set(
+        state.timestamp[order], mode="drop")
+    # encode current absolute strength: exp(accum - cluster_decay) == s
+    s = jnp.maximum(state.strength[order], 1e-20)
+    cluster_decay = jnp.zeros_like(state.cluster_decay).at[row, col].set(
+        state.decay_accum - jnp.log(s), mode="drop")
+    cluster_loc = jnp.zeros_like(state.cluster_loc).at[row, col].set(
+        state.locations[order], mode="drop")
     bucket_fill = jnp.minimum(counts.astype(jnp.int32), C)
 
     return state._replace(
@@ -430,6 +464,9 @@ def rebuild_centroids(config: MemoryConfig, state: MemoryState,
         clustered=clustered,
         cluster_slot=cluster_slot,
         cluster_gen=cluster_gen,
+        cluster_ts=cluster_ts,
+        cluster_decay=cluster_decay,
+        cluster_loc=cluster_loc,
         bucket_fill=bucket_fill,
         index_ready=state.active_count() >= jnp.asarray(K, jnp.int32),
     )

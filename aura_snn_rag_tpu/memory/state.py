@@ -45,14 +45,21 @@ class MemoryState(NamedTuple):
     centroid_counts: jax.Array  # [K]  f32 members per centroid (for eta=1/n)
 
     # --- IVF clustered candidate store ---
+    # All per-candidate scoring metadata lives cluster-aligned so a query
+    # touches only contiguous [C]-blocks (no scattered per-entry gathers):
     clustered: jax.Array      # [K, C, D] bf16 L2-normalized member copies
     cluster_slot: jax.Array   # [K, C] i32 bank slot of each entry (-1 = empty)
     cluster_gen: jax.Array    # [K, C] i32 generation stamp of each entry
+    cluster_ts: jax.Array     # [K, C] f32 write timestamp (logical step)
+    cluster_decay: jax.Array  # [K, C] f32 decay_accum at write (strength =
+                              #   exp(decay_accum - cluster_decay))
+    cluster_loc: jax.Array    # [K, C, S] f32 write locations
     bucket_fill: jax.Array    # [K]    i32 ring write cursor per bucket
 
     # --- scalars ---
     count: jax.Array          # i32 total writes ever (active rows = min(count, M))
     step: jax.Array           # f32 logical clock
+    decay_accum: jax.Array    # f32 cumulative log(1-rate) of all decays
     index_ready: jax.Array    # bool centroid index usable
 
     @property
@@ -91,8 +98,12 @@ def init_memory_state(config: MemoryConfig, dtype=jnp.float32,
         clustered=jnp.zeros((K, C, D), clustered_dtype),
         cluster_slot=jnp.full((K, C), -1, jnp.int32),
         cluster_gen=jnp.full((K, C), -1, jnp.int32),
+        cluster_ts=jnp.zeros((K, C), dtype),
+        cluster_decay=jnp.zeros((K, C), dtype),
+        cluster_loc=jnp.zeros((K, C, S), dtype),
         bucket_fill=jnp.zeros((K,), jnp.int32),
         count=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), dtype),
+        decay_accum=jnp.zeros((), dtype),
         index_ready=jnp.zeros((), jnp.bool_),
     )

@@ -274,17 +274,75 @@ class Trainer:
                     loss = loss + ewc.penalty(params)
                 return loss, (ce, out)
 
-            (loss, (ce, out)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+            accum = max(1, tcfg.gradient_accumulation_steps)
+            if accum > 1:
+                # micro-batch gradient accumulation: scan over [A, B/A, L]
+                B_full, L = input_ids.shape
+                mb = B_full // accum
+                ids_mb = input_ids[:mb * accum].reshape(accum, mb, L)
+                # lax.scan over micro-batches accumulating grads
+                zero_g = jax.tree.map(
+                    lambda p: jnp.zeros_like(p, jnp.float32), state.params)
+
+                def micro(carry, ids_i):
+                    g_acc, loss_acc, ce_acc = carry
+                    nonlocal_input = ids_i
+
+                    def lf(params):
+                        out_i, _ = model.apply(
+                            params, nonlocal_input,
+                            prosody=(prosody[:mb]
+                                     if prosody is not None else None),
+                            use_memory=use_memory,
+                            memory_state=(memory_state if cfg.use_rag
+                                          else None),
+                            rngs={"dropout": dropout_rng})
+                        l = hippocampal_loss(
+                            out_i.logits[:, :-1], nonlocal_input[:, 1:],
+                            out_i.place_activity,
+                            label_smoothing=tcfg.label_smoothing,
+                            entropy_lambda=tcfg.entropy_lambda,
+                            sparsity_lambda=tcfg.sparsity_lambda,
+                            target_sparsity=tcfg.target_sparsity)
+                        c = hippocampal_loss(
+                            out_i.logits[:, :-1], nonlocal_input[:, 1:],
+                            None, label_smoothing=0.0, entropy_lambda=0.0,
+                            sparsity_lambda=0.0)
+                        return l, (c, out_i)
+
+                    (l, (c, out_i)), g = jax.value_and_grad(
+                        lf, has_aux=True)(state.params)
+                    g_acc = jax.tree.map(
+                        lambda a, b: a + b.astype(jnp.float32), g_acc, g)
+                    return (g_acc, loss_acc + l, ce_acc + c), \
+                        out_i.memory_summary
+
+                (g_sum, loss_sum, ce_sum), summaries = jax.lax.scan(
+                    micro, (zero_g, jnp.zeros(()), jnp.zeros(())), ids_mb)
+                grads = jax.tree.map(lambda g: g / accum, g_sum)
+                loss = loss_sum / accum
+                ce = ce_sum / accum
+                if ewc.fisher is not None:
+                    p_loss, p_grads = jax.value_and_grad(ewc.penalty)(
+                        state.params)
+                    loss = loss + p_loss
+                    grads = jax.tree.map(
+                        lambda a, b: a + b.astype(a.dtype), grads, p_grads)
+                memory_summary = summaries.reshape(-1, summaries.shape[-1])
+            else:
+                (loss, (ce, out)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                memory_summary = out.memory_summary
+
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             updates = jax.tree.map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(state.params, updates)
 
             if store_memory:
-                B = input_ids.shape[0]
+                B = memory_summary.shape[0]
                 memory_state = memory_engine.write_memories(
-                    mcfg, memory_state, out.memory_summary,
+                    mcfg, memory_state, memory_summary,
                     jnp.zeros((B, mcfg.spatial_dims)))
             memory_state = memory_engine.tick(memory_state, 1.0)
 
