@@ -13,6 +13,7 @@ from aura_snn_rag_tpu.memory.engine import (  # noqa: F401
     bulk_load,
     retrieve,
     retrieve_bruteforce,
+    retrieve_flat,
     retrieve_auto,
     decay_memories,
     rebuild_centroids,

@@ -104,6 +104,7 @@ def write_memories(config: MemoryConfig, state: MemoryState,
 
         return st._replace(
             features=st.features.at[idx].set(f),
+            features_nb16=st.features_nb16.at[idx].set(fn),
             locations=st.locations.at[idx].set(loc),
             strength=st.strength.at[idx].set(1.0),
             timestamp=st.timestamp.at[idx].set(st.step),
@@ -138,6 +139,8 @@ def bulk_load(config: MemoryConfig, state: MemoryState,
     f32 = state.features.dtype
     return state._replace(
         features=state.features.at[:N].set(features.astype(f32)),
+        features_nb16=state.features_nb16.at[:N].set(
+            _l2norm(features.astype(f32)).astype(state.features_nb16.dtype)),
         locations=state.locations.at[:N].set(locations.astype(f32)),
         strength=state.strength.at[:N].set(1.0),
         timestamp=state.timestamp.at[:N].set(state.step),
@@ -295,16 +298,80 @@ def retrieve_bruteforce(config: MemoryConfig, state: MemoryState,
     return RetrievalResult(out_slots, jnp.where(hit, scores, 0.0), feats)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def retrieve_flat(config: MemoryConfig, state: MemoryState,
+                  queries: jax.Array,
+                  query_locations: Optional[jax.Array] = None,
+                  k: int = 5) -> RetrievalResult:
+    """Batched flat scan: one [M, D]·[D, B] bf16 matmul over the whole bank.
+
+    For batched queries this is bandwidth-OPTIMAL: the 1-pass bank read is
+    amortized across the batch (per-query IVF gathers are not), the MXU does
+    the scoring, and recall is ~exact. Roofline: ~M·D·2 bytes per batch
+    regardless of B. Use when B ≳ M / (probe·C); `retrieve_auto` dispatches.
+    Same coarse→exact-f32-rerank funnel as the IVF path.
+    """
+    M = state.max_memories
+    qn = _l2norm(queries)                                        # [B, D]
+    cos = jnp.einsum("md,bd->bm", state.features_nb16,
+                     qn.astype(state.features_nb16.dtype)
+                     ).astype(jnp.float32)                       # [B, M]
+
+    # streaming [M] metadata (no scatter/gather)
+    ages = (state.step - state.timestamp) * config.seconds_per_step
+    temporal = jnp.exp(-jnp.maximum(ages, 0.0) / config.temporal_tau)
+    if query_locations is not None:
+        d = jnp.sqrt(jnp.sum(
+            (state.locations[None] - query_locations[:, None]) ** 2,
+            axis=-1) + 1e-12)
+        spatial = 1.0 / (1.0 + d)
+    else:
+        spatial = jnp.zeros(())
+    combined = (config.w_cosine * cos + config.w_spatial * spatial
+                + config.w_temporal * temporal[None, :]) \
+        * state.strength[None, :]
+    active = jnp.arange(M) < state.active_count()
+    combined = jnp.where(active[None, :], combined, NEG_INF)
+
+    kk = min(max(config.rerank_candidates, 4 * k), M)
+    _, pick = jax.lax.top_k(combined, kk)                        # [B, kk]
+    cand_valid = jnp.take_along_axis(
+        jnp.broadcast_to(active[None, :], combined.shape), pick, axis=1)
+
+    cand_feats = state.features[pick]                            # [B, kk, D]
+    exact_cos = jnp.einsum(
+        "bkd,bd->bk", _l2norm(cand_feats.astype(jnp.float32)), qn,
+        precision=jax.lax.Precision.HIGHEST)
+    exact = _combined_score(config, state, exact_cos, pick,
+                            query_locations)
+    exact = jnp.where(cand_valid, exact, NEG_INF)
+
+    scores, pick2 = jax.lax.top_k(exact, k)
+    out_slots = jnp.take_along_axis(pick, pick2, axis=1).astype(jnp.int32)
+    hit = scores > NEG_INF / 2
+    out_slots = jnp.where(hit, out_slots, -1)
+    feats = jnp.take_along_axis(cand_feats, pick2[..., None], axis=1)
+    feats = jnp.where(hit[..., None], feats, 0.0)
+    return RetrievalResult(out_slots, jnp.where(hit, scores, 0.0), feats)
+
+
 def retrieve_auto(config: MemoryConfig, state: MemoryState,
                   queries: jax.Array,
                   query_locations: Optional[jax.Array] = None,
                   k: int = 5) -> RetrievalResult:
-    """Traceable dispatch: IVF path when the index is live, else brute force.
+    """Traceable dispatch across the three retrieval paths.
 
-    Mirrors the reference's runtime check (hippocampal.py:259): index used
-    iff `_index_ready and memory_count > centroids_k`. Both branches compile
-    (static shapes); only one executes per call.
+    - Large batches (B·probe·C ≥ M): the IVF gathers would touch at least
+      as much HBM as one flat pass — use the batched flat bf16 scan
+      (bandwidth-optimal, ~exact).
+    - Small batches: IVF when the index is live (hippocampal.py:259
+      semantics: `_index_ready and memory_count > centroids_k`), else
+      brute force. Both cond branches compile; one executes.
     """
+    B = queries.shape[0]
+    ivf_traffic = B * config.probe_centroids * config.bucket_capacity
+    if ivf_traffic >= state.max_memories:
+        return retrieve_flat(config, state, queries, query_locations, k)
     use_index = state.index_ready & (
         state.active_count() > jnp.asarray(state.k_centroids, jnp.int32))
     return jax.lax.cond(

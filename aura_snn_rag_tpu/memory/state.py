@@ -34,6 +34,7 @@ class MemoryState(NamedTuple):
 
     # --- bank (row-indexed by bank slot) ---
     features: jax.Array       # [M, D] f32 raw stored features
+    features_nb16: jax.Array  # [M, D] bf16 L2-normalized copy (flat-scan path)
     locations: jax.Array      # [M, S] f32 spatial coordinates at write time
     strength: jax.Array       # [M]    f32 decayable strength (init 1.0)
     timestamp: jax.Array      # [M]    f32 logical step at write
@@ -88,6 +89,7 @@ def init_memory_state(config: MemoryConfig, dtype=jnp.float32,
     K, C = config.k_centroids, config.bucket_capacity
     return MemoryState(
         features=jnp.zeros((M, D), dtype),
+        features_nb16=jnp.zeros((M, D), clustered_dtype),
         locations=jnp.zeros((M, S), dtype),
         strength=jnp.zeros((M,), dtype),
         timestamp=jnp.zeros((M,), dtype),

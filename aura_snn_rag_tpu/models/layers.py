@@ -182,20 +182,51 @@ class MLP(nn.Module):
 
 class Synapsis(nn.Module):
     """Spike-aware linear: init std = 1/sqrt(fan_in · firing_rate)
-    (synapsis.py:78)."""
+    (synapsis.py:78). Optional STDP eligibility traces (synapsis.py:110-198):
+    pre/post activity EMAs returned as state; `stdp_update` computes the
+    outer-product weight delta for an external (training-loop) update with
+    the reference's ±10 clamp."""
 
     features: int
     target_firing_rate: float = 0.3
     dtype: Any = jnp.bfloat16
+    enable_plasticity: bool = False
+    trace_decay: float = 0.95
 
     @nn.compact
-    def __call__(self, spikes: jax.Array) -> jax.Array:
+    def __call__(self, spikes: jax.Array,
+                 trace_state: Optional[Tuple[jax.Array, jax.Array]] = None):
         fan_in = spikes.shape[-1]
         std = 1.0 / math.sqrt(fan_in * self.target_firing_rate)
         w = self.param("kernel", nn.initializers.normal(std),
                        (fan_in, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return spikes.astype(self.dtype) @ w.astype(self.dtype) + b.astype(self.dtype)
+        out = (spikes.astype(self.dtype) @ w.astype(self.dtype)
+               + b.astype(self.dtype))
+        if not self.enable_plasticity:
+            return out
+        # trace update: EMA of mean pre-spikes / post-currents over time
+        pre = spikes.mean(axis=-2)
+        post = out.mean(axis=-2).astype(jnp.float32)
+        if trace_state is None:
+            pre_trace = jnp.zeros_like(pre)
+            post_trace = jnp.zeros_like(post)
+        else:
+            pre_trace, post_trace = trace_state
+        d = self.trace_decay
+        new_state = (d * pre_trace + (1 - d) * pre,
+                     d * post_trace + (1 - d) * post)
+        return out, new_state
+
+    @staticmethod
+    def stdp_update(kernel: jax.Array, pre_trace: jax.Array,
+                    post_trace: jax.Array, lr: float = 0.001) -> jax.Array:
+        """ΔW = η·(pre ⊗ post), batch-averaged, clamped to ±10."""
+        if pre_trace.ndim > 1:
+            pre_trace = pre_trace.mean(axis=0)
+            post_trace = post_trace.mean(axis=0)
+        dw = lr * jnp.outer(pre_trace, post_trace)
+        return jnp.clip(kernel + dw, -10.0, 10.0)
 
 
 class SNNFFN(nn.Module):

@@ -79,23 +79,27 @@ def tpu_bench(feats, queries):
     np.asarray(state.centroid_counts)
     build_s = time.perf_counter() - t0          # warm (no compile)
 
+    from aura_snn_rag_tpu.memory import retrieve_flat
+
     q = jnp.asarray(queries)
     batches = [q[i * QUERY_BATCH:(i + 1) * QUERY_BATCH]
                for i in range(N_QUERY_BATCHES)]
-    # warmup (compile)
-    res = retrieve(cfg, state, batches[0], None, TOPK)
-    np.asarray(res.indices)
 
-    t0 = time.perf_counter()
-    results = []
-    for b in batches:
-        results.append(retrieve(cfg, state, b, None, TOPK))
-    np.asarray(results[-1].indices)             # host fence
-    dt = time.perf_counter() - t0
-    qps = (N_QUERY_BATCHES * QUERY_BATCH) / dt
+    def timed(fn):
+        res = fn(cfg, state, batches[0], None, TOPK)   # warmup/compile
+        np.asarray(res.indices)
+        t0 = time.perf_counter()
+        results = [fn(cfg, state, b, None, TOPK) for b in batches]
+        np.asarray(results[-1].indices)                # host fence
+        dt = time.perf_counter() - t0
+        return (N_QUERY_BATCHES * QUERY_BATCH) / dt, results
 
-    approx_idx = np.concatenate([np.asarray(r.indices) for r in results])
-    return qps, build_s, build_cold_s, approx_idx, state
+    flat_qps, flat_results = timed(retrieve_flat)      # batched flat scan
+    ivf_qps, _ = timed(retrieve)                       # per-query IVF path
+
+    approx_idx = np.concatenate([np.asarray(r.indices)
+                                 for r in flat_results])
+    return flat_qps, ivf_qps, build_s, build_cold_s, approx_idx, state
 
 
 def exact_topk_numpy(feats, queries, k):
@@ -176,7 +180,8 @@ def main():
     pick = rng.randint(0, N, QUERY_BATCH * N_QUERY_BATCHES)
     queries = feats[pick] + 0.5 * rng.randn(len(pick), D).astype(np.float32)
 
-    qps, build_s, build_cold_s, approx_idx, _ = tpu_bench(feats, queries)
+    qps, ivf_qps, build_s, build_cold_s, approx_idx, _ = \
+        tpu_bench(feats, queries)
 
     # exact ground truth on a subsample of queries (numpy, f64-safe)
     n_eval = min(64, len(queries))
@@ -204,6 +209,7 @@ def main():
         "recall_at_10": round(recall, 4),
         "baseline_recall_at_10": round(ref_recall, 4),
         "baseline_qps": round(ref_qps, 2),
+        "ivf_qps": round(ivf_qps, 1),
         "index_build_s": round(build_s, 3),
         "index_build_cold_s": round(build_cold_s, 3),
         "baseline_build_s": round(ref_build_s, 3),

@@ -1,6 +1,11 @@
 """Energy accounting benchmark: spiking vs dense pJ estimates for the
 SNN FFN (parity with /root/reference/benchmarks/bench_energy_tracking.py)."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 
 import jax

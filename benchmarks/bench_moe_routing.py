@@ -6,6 +6,11 @@ whether the Liquid-MoE router learns to separate synthetic input clusters
 onto distinct experts.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 
 import jax

@@ -6,6 +6,11 @@ throughput, and the LRU-cache speedup on repeated content (the reference
 claims 50-80%, optimized_prosody_attention.py:6).
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import time
 

@@ -7,6 +7,11 @@ rows from a JSONL file (or a synthetic set), using hash-embedded features.
     python examples/train_emotion_head.py [--data rows.jsonl] [--epochs 10]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 

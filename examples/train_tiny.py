@@ -6,6 +6,11 @@ full modulator stack, stores/retrieves episodic memories, and generates.
     python examples/train_tiny.py [--steps 100]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import dataclasses
 import math
