@@ -52,6 +52,8 @@ class MemoryConfig:
     grid_max_rate: float = 25.0
     # Lloyd iterations in a full rebuild (reference uses 1: hippocampal.py:357).
     rebuild_lloyd_iters: int = 1
+    # fused Pallas gather+score kernel for the IVF path (TPU backends only)
+    use_pallas_ivf: bool = True
 
     @property
     def bucket_capacity(self) -> int:

@@ -161,6 +161,11 @@ class Trainer:
         self.mesh = None
         self.replay = ReplayBuffer(tcfg.replay_buffer_size)
         self.ewc = EWCConsolidator(tcfg.ewc_lambda)
+        # observability spine (SURVEY §5.1): stats + event hooks
+        from aura_snn_rag_tpu.zones.events import EventBus
+        from aura_snn_rag_tpu.zones.stats import StatsCollector
+        self.stats = StatsCollector()
+        self.event_bus = EventBus()
         self._np_rng = np.random.RandomState(seed)
         self._memory_gate_scale = 1.0
         self._thalamus_scale = 1.0
@@ -398,6 +403,15 @@ class Trainer:
         self.replay.add(np.asarray(input_ids), np.asarray(labels), loss)
         self.history["loss"].append(loss)
         self.history["step"].append(step)
+
+        # telemetry commit every logging interval
+        if step > 0 and step % tcfg.logging_steps == 0:
+            self.stats.update_from_params(self.state.params)
+            self.stats.classify_stability(self.history["loss"][-20:])
+            snapshot = self.stats.commit(step)
+            self.event_bus.emit(
+                "brain_stats_updated", source="trainer",
+                step=step, loss=loss, stability=snapshot.stability)
 
         # periodic decay (colab_l4_training.py:686-691)
         if step > 0 and step % tcfg.eval_steps == 0:

@@ -35,8 +35,9 @@ K = 1024 if SMALL else 4096
 PROBE = 32 if SMALL else 64
 LLOYD_ITERS = 2
 TOPK = 10
-QUERY_BATCH = 32
-N_QUERY_BATCHES = 8
+# batched serving: larger batches amortize the one-pass bank read
+QUERY_BATCH = 32 if SMALL else 128
+N_QUERY_BATCHES = 8 if SMALL else 4
 BASELINE_QUERIES = 8 if SMALL else 16
 BASELINE_K = 256      # the reference's own defaults (hippocampal.py:114,:262)
 BASELINE_PROBE = 8
