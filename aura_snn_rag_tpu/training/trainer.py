@@ -389,8 +389,20 @@ class Trainer:
             self._place_batch(input_ids), self._place_batch(labels), lr_scale, sub,
             self.amygdala_params, self.thalamus_params)
 
-        loss = float(metrics["loss"])
-        self._thalamus_scale = float(metrics["thalamus_scale"])
+        # fetch the PREVIOUS step's scalars while this step executes —
+        # a blocking device→host read costs ~30 ms on tunneled backends,
+        # so modulators consume 1-step-lagged values (same lag the
+        # thalamus gate already has)
+        pending = getattr(self, "_pending_metrics", None)
+        self._pending_metrics = metrics
+        if pending is not None:
+            loss = float(pending["loss"])
+            ce = float(pending["ce"])
+            self._thalamus_scale = float(pending["thalamus_scale"])
+        else:
+            loss = float(metrics["loss"])
+            ce = float(metrics["ce"])
+            self._thalamus_scale = float(metrics["thalamus_scale"])
         if self.endocrine is not None:
             levels = self.endocrine.step({
                 "accuracy": max(0.0, min(1.0, float(np.exp(-loss)))),
@@ -422,7 +434,7 @@ class Trainer:
                 and len(self.replay) > 0):
             self.sleep_phase()
 
-        return {"loss": loss, "ce": float(metrics["ce"]),
+        return {"loss": loss, "ce": ce,
                 "use_memory": use_memory, "step": step}
 
     def sleep_phase(self):
