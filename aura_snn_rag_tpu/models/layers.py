@@ -323,6 +323,9 @@ class MemoryAugmentedLayer(nn.Module):
     memory_config: MemoryConfig
     use_snn_ffn: bool = False
     deterministic: bool = True
+    # injectable retrieval (e.g. the shard_map sharded-bank path);
+    # signature: (memory_config, memory_state, queries, k) -> RetrievalResult
+    retrieve_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, hidden: jax.Array,
@@ -341,9 +344,14 @@ class MemoryAugmentedLayer(nn.Module):
         if use_memory and memory_state is not None:
             query = nn.Dense(cfg.embedding_dim, dtype=dt, name="query_proj")(
                 hidden.mean(axis=1))                          # [B, D]
-            result = memory_engine.retrieve_auto(
-                self.memory_config, memory_state,
-                query.astype(jnp.float32), None, cfg.num_retrieved)
+            if self.retrieve_fn is not None:
+                result = self.retrieve_fn(
+                    self.memory_config, memory_state,
+                    query.astype(jnp.float32), cfg.num_retrieved)
+            else:
+                result = memory_engine.retrieve_auto(
+                    self.memory_config, memory_state,
+                    query.astype(jnp.float32), None, cfg.num_retrieved)
             mem_feats = result.features.astype(dt)            # [B, K, D]
             mem_scores = result.scores.astype(dt)             # [B, K]
 

@@ -47,6 +47,8 @@ class HippocampalTransformer(nn.Module):
     config: ModelConfig
     memory_config: Optional[MemoryConfig] = None
     deterministic: bool = True
+    # injectable retrieval for RAG layers (e.g. memory.sharded path)
+    retrieve_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, input_ids: jax.Array,
@@ -77,7 +79,8 @@ class HippocampalTransformer(nn.Module):
             if cfg.use_rag and self.memory_config is not None:
                 layer = MemoryAugmentedLayer(
                     cfg, self.memory_config, use_snn_ffn=use_snn,
-                    deterministic=self.deterministic, name=f"layer_{i}")
+                    deterministic=self.deterministic,
+                    retrieve_fn=self.retrieve_fn, name=f"layer_{i}")
                 call = lambda h: layer(h, memory_state, prosody, use_memory,
                                        cache_i, cache_index)
             else:

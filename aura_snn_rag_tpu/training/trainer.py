@@ -344,6 +344,18 @@ class Trainer:
             updates = jax.tree.map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(state.params, updates)
 
+            # numerical-health guard (SURVEY §5.2/§5.3: the reference's NaN
+            # probes + OOM catches): a non-finite loss skips the update
+            # entirely instead of corrupting params/optimizer state
+            finite = jnp.isfinite(loss)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old),
+                params, state.params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old)
+                if hasattr(new, "shape") else new,
+                opt_state, state.opt_state)
+
             if store_memory:
                 B = memory_summary.shape[0]
                 memory_state = memory_engine.write_memories(
