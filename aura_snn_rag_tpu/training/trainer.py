@@ -364,8 +364,11 @@ class Trainer:
             memory_state = memory_engine.tick(memory_state, 1.0)
 
             new_state = TrainState(params, opt_state, state.step + 1)
-            metrics = {"loss": loss, "ce": ce,
-                       "thalamus_scale": thalamus_scale}
+            # pack scalars into ONE array: each device->host fetch costs a
+            # full tunnel roundtrip (~30 ms); one packed fetch, not three
+            metrics = jnp.stack([loss.astype(jnp.float32),
+                                 ce.astype(jnp.float32),
+                                 thalamus_scale.astype(jnp.float32)])
             return new_state, memory_state, metrics
 
         return jax.jit(step_fn, donate_argnums=(0, 1))
@@ -407,14 +410,10 @@ class Trainer:
         # thalamus gate already has)
         pending = getattr(self, "_pending_metrics", None)
         self._pending_metrics = metrics
-        if pending is not None:
-            loss = float(pending["loss"])
-            ce = float(pending["ce"])
-            self._thalamus_scale = float(pending["thalamus_scale"])
-        else:
-            loss = float(metrics["loss"])
-            ce = float(metrics["ce"])
-            self._thalamus_scale = float(metrics["thalamus_scale"])
+        fetched = np.asarray(pending if pending is not None else metrics)
+        loss, ce, self._thalamus_scale = (float(fetched[0]),
+                                          float(fetched[1]),
+                                          float(fetched[2]))
         if self.endocrine is not None:
             levels = self.endocrine.step({
                 "accuracy": max(0.0, min(1.0, float(np.exp(-loss)))),
