@@ -144,6 +144,10 @@ class TrainingConfig:
     save_steps: int = 1000
     eval_steps: int = 500
     logging_steps: int = 100
+    # fetch step metrics from device every N steps (1 = reference parity;
+    # higher values amortize the ~30 ms tunnel roundtrip — modulators then
+    # run on N-step-stale losses)
+    metrics_fetch_interval: int = 1
 
     # Modulators (colab_l4_training.py:827-829, :648-667)
     enable_amygdala: bool = True

@@ -410,10 +410,13 @@ class Trainer:
         # thalamus gate already has)
         pending = getattr(self, "_pending_metrics", None)
         self._pending_metrics = metrics
-        fetched = np.asarray(pending if pending is not None else metrics)
-        loss, ce, self._thalamus_scale = (float(fetched[0]),
-                                          float(fetched[1]),
-                                          float(fetched[2]))
+        fi = max(1, tcfg.metrics_fetch_interval)
+        if pending is None or step % fi == 0 or not hasattr(self, "_last_fetched"):
+            fetched = np.asarray(pending if pending is not None else metrics)
+            self._last_fetched = fetched
+        loss, ce, self._thalamus_scale = (float(self._last_fetched[0]),
+                                          float(self._last_fetched[1]),
+                                          float(self._last_fetched[2]))
         if self.endocrine is not None:
             levels = self.endocrine.step({
                 "accuracy": max(0.0, min(1.0, float(np.exp(-loss)))),
