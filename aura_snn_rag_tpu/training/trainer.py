@@ -45,6 +45,13 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _sharded_retrieve_adapter(mesh, memory_config, memory_state,
+                              queries, k):
+    """retrieve_fn adapter for the shard_map sharded-bank path."""
+    from aura_snn_rag_tpu.memory.sharded import retrieve_sharded
+    return retrieve_sharded(memory_config, mesh, memory_state, queries, k)
+
+
 class ReplayBuffer:
     """Host-side ring buffer of (input_ids, labels) batches with losses."""
 
@@ -159,6 +166,7 @@ class Trainer:
                 amy_key, jnp.zeros((1, 4, cfg.embedding_dim)))
 
         self.mesh = None
+        self._memory_mesh = None
         self.replay = ReplayBuffer(tcfg.replay_buffer_size)
         self.ewc = EWCConsolidator(tcfg.ewc_lambda)
         # observability spine (SURVEY §5.1): stats + event hooks
@@ -176,11 +184,19 @@ class Trainer:
     # ------------------------------------------------------------------
     # multi-device placement
     # ------------------------------------------------------------------
-    def shard_to_mesh(self, mesh) -> None:
+    def shard_to_mesh(self, mesh, shard_memory: bool = True) -> None:
         """Place the trainer's state onto a ('data','model') mesh: params
         tensor-parallel per the TP rules, optimizer state mirrors params,
-        memory bank + modulators replicated, batches sharded over 'data'
-        (by `train_step` on entry)."""
+        modulators replicated, batches sharded over 'data' (by `train_step`
+        on entry).
+
+        shard_memory=True additionally shards the episodic bank over 'data'
+        (SURVEY §5.7 design): a FRESH per-shard bank is created (per-shard
+        capacity = memory.max_memories), in-step writes land on the local
+        shard, and RAG retrieval merges per-shard top-k over ICI via the
+        model's injectable `retrieve_fn`. An existing single-shard bank is
+        not migrated — re-ingest after sharding.
+        """
         from jax.sharding import NamedSharding, PartitionSpec as P
         from aura_snn_rag_tpu.parallel.mesh import shard_params
 
@@ -191,11 +207,26 @@ class Trainer:
         repl = NamedSharding(mesh, P())
         put_repl = lambda t: jax.tree.map(
             lambda x: jax.device_put(x, repl), t)
-        self.hippocampus.state = put_repl(self.hippocampus.state)
         if self.amygdala_params is not None:
             self.amygdala_params = put_repl(self.amygdala_params)
         if self.thalamus_params is not None:
             self.thalamus_params = put_repl(self.thalamus_params)
+
+        self._memory_mesh = None
+        if shard_memory and self.config.model.use_rag:
+            from aura_snn_rag_tpu.memory.sharded import (
+                init_sharded_memory, retrieve_sharded)
+            self.hippocampus.state = init_sharded_memory(
+                self.config.memory, mesh)
+            self._memory_mesh = mesh
+            retrieve_fn = functools.partial(
+                _sharded_retrieve_adapter, mesh)
+            import dataclasses as _dc
+            self.model = self.model.clone(retrieve_fn=retrieve_fn)
+            self.eval_model = self.eval_model.clone(
+                retrieve_fn=retrieve_fn)
+        else:
+            self.hippocampus.state = put_repl(self.hippocampus.state)
         self.mesh = mesh
         self._step_fns.clear()
 
@@ -219,6 +250,7 @@ class Trainer:
         amygdala = self.amygdala
         thalamus = self.thalamus
         ewc = self.ewc
+        memory_mesh = self._memory_mesh
 
         def step_fn(state: TrainState, memory_state: MemoryState,
                     input_ids, labels, lr_scale, dropout_rng,
@@ -358,9 +390,16 @@ class Trainer:
 
             if store_memory:
                 B = memory_summary.shape[0]
-                memory_state = memory_engine.write_memories(
-                    mcfg, memory_state, memory_summary,
-                    jnp.zeros((B, mcfg.spatial_dims)))
+                if memory_mesh is not None:
+                    from aura_snn_rag_tpu.memory.sharded import (
+                        write_memories_sharded)
+                    memory_state = write_memories_sharded(
+                        mcfg, memory_mesh, memory_state, memory_summary,
+                        jnp.zeros((B, mcfg.spatial_dims)))
+                else:
+                    memory_state = memory_engine.write_memories(
+                        mcfg, memory_state, memory_summary,
+                        jnp.zeros((B, mcfg.spatial_dims)))
             memory_state = memory_engine.tick(memory_state, 1.0)
 
             new_state = TrainState(params, opt_state, state.step + 1)
