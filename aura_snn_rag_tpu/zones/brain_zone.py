@@ -50,17 +50,30 @@ class BrainZoneConfig:
 
 
 def spiking_group_forward(cfg: SpikingNeuronConfig, currents: jax.Array,
-                          homeo_i: jax.Array) -> jax.Array:
-    """Run one neuron group over [B, T, D] currents (+ homeostatic bias)."""
+                          homeo_i: jax.Array,
+                          substeps: int = 32) -> jax.Array:
+    """Run one neuron group over [B, T, D] currents (+ homeostatic bias).
+
+    Biophysical models (Izhikevich/AdEx) integrate millisecond dynamics:
+    each input timestep is held as DC drive for `substeps` integration
+    steps (T·substeps·dt of simulated time), then spikes are pooled back
+    to per-input-step counts. LIF is abstract-time and runs 1:1.
+    """
     currents = currents + homeo_i
-    if cfg.neuron_type == "izhikevich":
-        p = izhikevich_params(cfg.izh_a, cfg.izh_b, cfg.izh_c, cfg.izh_d)
-        spikes, _ = izhikevich_scan(p, currents * 10.0)  # scale to mV regime
-    elif cfg.neuron_type == "adex":
-        spikes, _ = adex_scan(adex_params(), currents * 40.0)
-    else:
-        p = lif_params(currents.shape[-1], cfg.beta, cfg.threshold)
-        spikes, _ = lif_scan(p, currents)
+    if cfg.neuron_type in ("izhikevich", "adex"):
+        T = currents.shape[-2]
+        held = jnp.repeat(currents, substeps, axis=-2)
+        if cfg.neuron_type == "izhikevich":
+            p = izhikevich_params(cfg.izh_a, cfg.izh_b, cfg.izh_c,
+                                  cfg.izh_d)
+            spikes, _ = izhikevich_scan(p, held * 15.0)  # mV-regime drive
+        else:
+            spikes, _ = adex_scan(adex_params(), held * 40.0)
+        # pool substeps back to input resolution (counts per input step)
+        shape = spikes.shape[:-2] + (T, substeps, spikes.shape[-1])
+        return spikes.reshape(shape).sum(axis=-2)
+    p = lif_params(currents.shape[-1], cfg.beta, cfg.threshold)
+    spikes, _ = lif_scan(p, currents)
     return spikes
 
 
@@ -120,6 +133,29 @@ class NeuromorphicBrainZone(nn.Module):
         stats = {"avg_firing_rate": rates.mean(),
                  "spike_count": spikes.sum()}
         return out, stats
+
+
+def zone_config_from_pattern(name: str, pattern: str, n_neurons: int = 128,
+                             input_dim: int = 64, output_dim: int = 64,
+                             timesteps: int = 4) -> BrainZoneConfig:
+    """Zone config whose population uses a named Izhikevich firing pattern
+    (brain_zone_factory.py parity: pattern-keyed zone builders)."""
+    from aura_snn_rag_tpu.ops.izhikevich_presets import IZHIKEVICH_PRESETS
+    p = IZHIKEVICH_PRESETS[pattern]
+    return BrainZoneConfig(
+        name=name, n_neurons=n_neurons, input_dim=input_dim,
+        output_dim=output_dim, timesteps=timesteps,
+        neuron_configs=(SpikingNeuronConfig(
+            "izhikevich", izh_a=p["a"], izh_b=p["b"], izh_c=p["c"],
+            izh_d=p["d"]),))
+
+
+def create_cerebellum(n_neurons: int = 128, input_dim: int = 64,
+                      output_dim: int = 64) -> BrainZoneConfig:
+    """Cerebellum zone: fast-spiking granule-like population
+    (brain_zone_factory.py `create_cerebellum` parity)."""
+    return zone_config_from_pattern(
+        "cerebellum", "fast_spiking", n_neurons, input_dim, output_dim)
 
 
 class CorticalRegion(nn.Module):
