@@ -418,6 +418,94 @@ class Trainer:
             self._step_fns[key] = self._build_step(*key)
         return self._step_fns[key]
 
+    def _build_chunk(self, use_memory: bool):
+        """N train steps in ONE dispatch: lax.scan over the step body.
+
+        Amortizes the per-dispatch host↔device roundtrip (tens of ms on
+        tunneled backends). Episodic stores follow a per-step mask
+        (lax.cond between the store/no-store step variants); modulator
+        scalars are fixed for the chunk.
+        """
+        step_store = self._build_step(use_memory, True, False)
+        step_nostore = self._build_step(use_memory, False, False)
+
+        def chunk_fn(state, memory_state, ids, labels, store_mask,
+                     lr_scale, rngs, amygdala_params, thalamus_params):
+            def body(carry, xs):
+                st, mem = carry
+                ids_i, labels_i, store_i, rng_i = xs
+                st, mem, m = jax.lax.cond(
+                    store_i,
+                    lambda s, mm: step_store(
+                        s, mm, ids_i, labels_i, lr_scale, rng_i,
+                        amygdala_params, thalamus_params),
+                    lambda s, mm: step_nostore(
+                        s, mm, ids_i, labels_i, lr_scale, rng_i,
+                        amygdala_params, thalamus_params),
+                    st, mem)
+                return (st, mem), m
+
+            (state, memory_state), metrics = jax.lax.scan(
+                body, (state, memory_state),
+                (ids, labels, store_mask, rngs))
+            return state, memory_state, metrics          # metrics [N, 3]
+
+        return jax.jit(chunk_fn, donate_argnums=(0, 1))
+
+    def train_chunk(self, input_ids, labels) -> Dict[str, float]:
+        """Run a [N, B, L] chunk of steps in one device dispatch.
+
+        use_memory is decided once per chunk from the current gates;
+        stores follow `memory_store_interval` within the chunk. Returns
+        the last step's metrics (full per-step losses in `history`).
+        """
+        tcfg = self.config.training
+        input_ids = np.asarray(input_ids)
+        N = input_ids.shape[0]
+        start = int(self.state.step)
+
+        base_on = start >= tcfg.memory_warmup_steps
+        use_memory = bool(
+            base_on and self._memory_gate_scale * self._thalamus_scale >= 0.9)
+        store_mask = np.asarray(
+            [use_memory and ((start + i) % tcfg.memory_store_interval == 0)
+             for i in range(N)])
+
+        key = ("chunk", use_memory)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_chunk(use_memory)
+        fn = self._step_fns[key]
+
+        self.rng, sub = jax.random.split(self.rng)
+        rngs = jax.random.split(sub, N)
+        lr_scale = jnp.asarray(
+            EndocrineSystem.lr_scale(self._last_hormones())
+            if self.endocrine else 1.0, jnp.float32)
+
+        self.state, self.hippocampus.state, metrics = fn(
+            self.state, self.hippocampus.state,
+            self._place_batch(input_ids), self._place_batch(labels),
+            jnp.asarray(store_mask), lr_scale, rngs,
+            self.amygdala_params, self.thalamus_params)
+
+        fetched = np.asarray(metrics)                     # one roundtrip
+        for i in range(N):
+            self.history["loss"].append(float(fetched[i, 0]))
+            self.history["step"].append(start + i)
+        loss = float(fetched[-1, 0])
+        self._thalamus_scale = float(fetched[-1, 2])
+        if self.endocrine is not None:
+            levels = self.endocrine.step({
+                "accuracy": max(0.0, min(1.0, float(np.exp(-loss)))),
+                "gate_diversity": 0.5, "energy": 0.1})
+            self._hormones = levels
+            self._memory_gate_scale = EndocrineSystem.memory_gate(levels)
+        for i in range(N):
+            self.replay.add(input_ids[i], np.asarray(labels)[i],
+                            float(fetched[i, 0]))
+        return {"loss": loss, "ce": float(fetched[-1, 1]),
+                "use_memory": use_memory, "step": start + N - 1}
+
     # ------------------------------------------------------------------
     # public stepping API
     # ------------------------------------------------------------------

@@ -56,6 +56,21 @@ class TestTrainer:
         leaves = jax.tree.leaves(tr.state.params)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
+    def test_train_chunk_multi_step_dispatch(self, batch):
+        tr = Trainer(tiny_config(enable_thalamus=False,
+                                 memory_warmup_steps=0,
+                                 memory_store_interval=2), seed=0)
+        chunk = np.stack([batch, batch, batch, batch])  # [N=4, B, L]
+        m = tr.train_chunk(chunk, chunk)
+        assert int(tr.state.step) == 4
+        assert np.isfinite(m["loss"])
+        assert len(tr.history["loss"]) == 4
+        # stores at inner steps 0 and 2 → 2 batches of 4 rows
+        assert tr.hippocampus.memory_count == 8
+        # chunks continue from prior state
+        tr.train_chunk(chunk, chunk)
+        assert int(tr.state.step) == 8
+
     def test_ewc_penalty_anchors(self, batch):
         tr = Trainer(tiny_config(), seed=0)
         tr.train_step(batch, batch)
