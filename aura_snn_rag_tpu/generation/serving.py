@@ -1,0 +1,117 @@
+"""Generation serving: batched request loop over the KV-cached decoder.
+
+No reference equivalent (the reference has no serving story, SURVEY §3.3);
+this provides the production path: requests accumulate into fixed-size
+batches (padded to static shapes so nothing recompiles), decode runs the
+jitted KV-cached sampler, and episodic memory conditions every request when
+a bank is attached.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class GenerationRequest:
+    prompt_ids: np.ndarray
+    max_new_tokens: int = 64
+    temperature: float = 0.8
+    future: Optional[asyncio.Future] = None
+    submitted_at: float = field(default_factory=time.time)
+
+
+class BatchedGenerator:
+    """Static-shape batched generation server.
+
+    Pads prompts to `prompt_pad` and batches to `batch_size` (static shapes
+    → one compile per (pad, new_tokens) bucket). `serve_forever` drains an
+    asyncio queue with a max-latency flush.
+    """
+
+    def __init__(self, model, params, batch_size: int = 8,
+                 prompt_pad: int = 64, max_new_tokens: int = 64,
+                 memory_state=None, pad_token_id: int = 0,
+                 rng: Optional[jax.Array] = None):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.prompt_pad = prompt_pad
+        self.max_new_tokens = max_new_tokens
+        self.memory_state = memory_state
+        self.pad_token_id = pad_token_id
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.stats = {"requests": 0, "batches": 0, "tokens": 0,
+                      "mean_batch_fill": 0.0}
+        self._jit_generate = None
+
+    # ------------------------------------------------------------------
+    def _pad_batch(self, requests: List[GenerationRequest]) -> np.ndarray:
+        batch = np.full((self.batch_size, self.prompt_pad),
+                        self.pad_token_id, np.int32)
+        for i, r in enumerate(requests):
+            ids = np.asarray(r.prompt_ids, np.int32)[-self.prompt_pad:]
+            batch[i, -len(ids):] = ids      # left-pad: prompt ends at edge
+        return batch
+
+    def generate_batch(self, requests: List[GenerationRequest]
+                       ) -> List[np.ndarray]:
+        """Synchronous batched decode; returns per-request new tokens."""
+        from aura_snn_rag_tpu.generation import generate
+
+        assert len(requests) <= self.batch_size
+        batch = self._pad_batch(requests)
+        self.rng, sub = jax.random.split(self.rng)
+        if self._jit_generate is None:
+            use_memory = self.memory_state is not None
+            self._jit_generate = jax.jit(
+                lambda p, ids, r, mem: generate(
+                    self.model, p, ids, self.max_new_tokens, r,
+                    temperature=requests[0].temperature,
+                    memory_state=mem, use_memory=use_memory))
+        out = self._jit_generate(self.params, jnp.asarray(batch), sub,
+                                 self.memory_state)
+        new_tokens = np.asarray(out[:, self.prompt_pad:])
+        self.stats["requests"] += len(requests)
+        self.stats["batches"] += 1
+        self.stats["tokens"] += int(new_tokens.size)
+        fill = len(requests) / self.batch_size
+        n = self.stats["batches"]
+        self.stats["mean_batch_fill"] += (fill - self.stats["mean_batch_fill"]) / n
+        return [new_tokens[i] for i in range(len(requests))]
+
+    # ------------------------------------------------------------------
+    async def submit(self, prompt_ids, max_new_tokens: int = 64
+                     ) -> np.ndarray:
+        loop = asyncio.get_running_loop()
+        req = GenerationRequest(np.asarray(prompt_ids),
+                                max_new_tokens, future=loop.create_future())
+        await self.queue.put(req)
+        return await req.future
+
+    async def serve_forever(self, flush_ms: float = 20.0) -> None:
+        """Drain the queue: flush on a full batch or after flush_ms."""
+        while True:
+            batch: List[GenerationRequest] = [await self.queue.get()]
+            deadline = time.monotonic() + flush_ms / 1000.0
+            while len(batch) < self.batch_size:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(
+                        self.queue.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            results = await asyncio.to_thread(self.generate_batch, batch)
+            for req, toks in zip(batch, results):
+                if req.future is not None and not req.future.done():
+                    req.future.set_result(toks)
