@@ -56,6 +56,49 @@ def create_default_feeds() -> List[FeedConfig]:
     ]
 
 
+def parse_feed_entries(body: str, max_entries: int = 20) -> List[str]:
+    """Minimal RSS/Atom entry parser (stdlib only; feedparser optional).
+
+    Returns "title summary" strings per entry. Uses feedparser when
+    available, else xml.etree over <item>/<entry> elements.
+    """
+    try:
+        import feedparser
+        parsed = feedparser.parse(body)
+        out = []
+        for entry in parsed.entries[:max_entries]:
+            text = " ".join(filter(None, [entry.get("title", ""),
+                                          entry.get("summary", "")]))
+            if text:
+                out.append(text)
+        return out
+    except ImportError:
+        pass
+
+    import re
+    import xml.etree.ElementTree as ET
+    try:
+        # strip namespaces so RSS and Atom parse uniformly
+        cleaned = re.sub(r'xmlns(:\w+)?="[^"]*"', "", body, count=10)
+        root = ET.fromstring(cleaned)
+    except ET.ParseError:
+        return []
+    out = []
+    for tag in ("item", "entry"):
+        for el in root.iter(tag):
+            title = el.findtext("title") or ""
+            summary = (el.findtext("description")
+                       or el.findtext("summary") or "")
+            text = " ".join(filter(None, [title.strip(),
+                                          re.sub(r"<[^>]+>", " ",
+                                                 summary).strip()]))
+            if text:
+                out.append(text)
+            if len(out) >= max_entries:
+                return out
+    return out
+
+
 @dataclass
 class IngestItem:
     text: str
@@ -135,13 +178,10 @@ class ContinuousLearningOrchestrator:
 
     async def _loop_feeds(self) -> None:
         try:
-            import aiohttp  # noqa: F401
-            import feedparser  # noqa: F401
+            import aiohttp
         except ImportError:
-            logger.warning("aiohttp/feedparser unavailable — RSS disabled")
+            logger.warning("aiohttp unavailable — RSS disabled")
             return
-        import aiohttp
-        import feedparser
         while self._running:
             now = time.time()
             async with aiohttp.ClientSession() as session:
@@ -151,14 +191,9 @@ class ContinuousLearningOrchestrator:
                     try:
                         async with session.get(feed.url, timeout=30) as r:
                             body = await r.text()
-                        parsed = feedparser.parse(body)
-                        for entry in parsed.entries[:20]:
-                            text = " ".join(filter(None, [
-                                entry.get("title", ""),
-                                entry.get("summary", "")]))
-                            if text:
-                                await self.submit(text, feed.category,
-                                                  source=feed.url)
+                        for text in parse_feed_entries(body):
+                            await self.submit(text, feed.category,
+                                              source=feed.url)
                         feed.last_fetch = now
                         self.stats["feeds_fetched"] += 1
                     except Exception as e:  # noqa: BLE001

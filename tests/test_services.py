@@ -123,6 +123,35 @@ class TestOrchestrator:
         assert orch2.batch_size == 8
 
 
+class TestFeedParsing:
+    RSS = """<?xml version="1.0"?><rss version="2.0"><channel>
+      <item><title>First story</title><description>Body &lt;b&gt;one&lt;/b&gt;</description></item>
+      <item><title>Second</title><description>two</description></item>
+    </channel></rss>"""
+    ATOM = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+      <entry><title>Atom title</title><summary>atom body</summary></entry>
+    </feed>"""
+
+    def test_rss_entries(self):
+        from aura_snn_rag_tpu.services.continuous_learning import (
+            parse_feed_entries)
+        entries = parse_feed_entries(self.RSS)
+        assert len(entries) == 2
+        assert "First story" in entries[0]
+        assert "one" in entries[0]  # html stripped
+
+    def test_atom_entries(self):
+        from aura_snn_rag_tpu.services.continuous_learning import (
+            parse_feed_entries)
+        entries = parse_feed_entries(self.ATOM)
+        assert entries == ["Atom title atom body"]
+
+    def test_garbage_returns_empty(self):
+        from aura_snn_rag_tpu.services.continuous_learning import (
+            parse_feed_entries)
+        assert parse_feed_entries("not xml at all") == []
+
+
 class TestEncoders:
     def test_hash_embedder_deterministic_and_normalized(self):
         emb = FastHashEmbedder(dim=128)
