@@ -18,8 +18,7 @@ O(L²), entirely on device.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import csv
 import json
-from typing import Callable, Iterable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 

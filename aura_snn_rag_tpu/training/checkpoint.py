@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

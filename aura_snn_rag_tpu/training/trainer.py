@@ -221,7 +221,6 @@ class Trainer:
             self._memory_mesh = mesh
             retrieve_fn = functools.partial(
                 _sharded_retrieve_adapter, mesh)
-            import dataclasses as _dc
             self.model = self.model.clone(retrieve_fn=retrieve_fn)
             self.eval_model = self.eval_model.clone(
                 retrieve_fn=retrieve_fn)
