@@ -31,9 +31,12 @@ def _load_native():
         if os.path.exists(src):
             import subprocess
             try:
+                # portable baseline ISA (no -march=native): the built .so
+                # may travel with the checkout; an AVX-512 artifact would
+                # SIGILL on older hosts. The kernel is hash/scatter-bound,
+                # not SIMD-bound, so the cost is negligible.
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", path, src],
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", path, src],
                     check=True, capture_output=True, timeout=120)
             except Exception:
                 return None

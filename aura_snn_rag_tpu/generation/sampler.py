@@ -45,10 +45,18 @@ def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
-def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
-    """Nucleus filtering: keep the smallest prefix with cumulative prob > p."""
-    if p >= 1.0:
+def top_p_filter(logits: jax.Array, p) -> jax.Array:
+    """Nucleus filtering: keep the smallest prefix with cumulative prob > p.
+
+    `p` may be a Python float (static; p >= 1.0 short-circuits) or a traced
+    array broadcastable to the batch dims (per-request nucleus in serving —
+    no recompile per value).
+    """
+    if isinstance(p, (int, float)) and p >= 1.0:
         return logits
+    p = jnp.asarray(p, jnp.float32)
+    if p.ndim:                       # [B] per-request → broadcast over vocab
+        p = p[..., None]
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
@@ -61,25 +69,34 @@ def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
 
 
 def sample_token(rng: jax.Array, logits: jax.Array,
-                 temperature: float = 1.0, top_k: int = 0,
-                 top_p: float = 1.0,
+                 temperature=1.0, top_k: int = 0,
+                 top_p=1.0,
                  token_counts: Optional[jax.Array] = None,
                  repetition_penalty: float = 1.0) -> jax.Array:
-    """logits [..., V] → sampled token ids [...]."""
+    """logits [..., V] → sampled token ids [...].
+
+    `temperature` and `top_p` may be Python floats (static) or traced arrays
+    broadcastable to the batch dims ([B] per-request values in serving).
+    `top_k` is structural (changes the lax.top_k shape) and stays static.
+    """
     logits = logits.astype(jnp.float32)
     if token_counts is not None and repetition_penalty != 1.0:
         logits = apply_repetition_penalty(logits, token_counts,
                                           repetition_penalty)
-    if temperature != 1.0:
-        logits = logits / max(temperature, 1e-6)
+    if isinstance(temperature, (int, float)):
+        if temperature != 1.0:
+            logits = logits / max(temperature, 1e-6)
+    else:
+        t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+        logits = logits / (t[..., None] if t.ndim else t)
     logits = top_k_filter(logits, top_k)
     logits = top_p_filter(logits, top_p)
     return jax.random.categorical(rng, logits, axis=-1)
 
 
 def generate(model, params, input_ids: jax.Array, max_new_tokens: int,
-             rng: jax.Array, temperature: float = 1.0, top_k: int = 50,
-             top_p: float = 0.9, repetition_penalty: float = 1.2,
+             rng: jax.Array, temperature=1.0, top_k: int = 50,
+             top_p=0.9, repetition_penalty: float = 1.2,
              memory_state=None, use_memory: bool = False,
              eos_token_id: Optional[int] = None,
              prosody: Optional[jax.Array] = None) -> jax.Array:

@@ -24,6 +24,7 @@ class GenerationRequest:
     prompt_ids: np.ndarray
     max_new_tokens: int = 64
     temperature: float = 0.8
+    top_p: float = 0.9
     future: Optional[asyncio.Future] = None
     submitted_at: float = field(default_factory=time.time)
 
@@ -51,7 +52,7 @@ class BatchedGenerator:
         self.queue: asyncio.Queue = asyncio.Queue()
         self.stats = {"requests": 0, "batches": 0, "tokens": 0,
                       "mean_batch_fill": 0.0}
-        self._jit_generate = None
+        self._jit_generate = {}      # max_new_tokens bucket → compiled fn
 
     # ------------------------------------------------------------------
     def _pad_batch(self, requests: List[GenerationRequest]) -> np.ndarray:
@@ -62,38 +63,64 @@ class BatchedGenerator:
             batch[i, -len(ids):] = ids      # left-pad: prompt ends at edge
         return batch
 
+    def _bucket(self, n: int) -> int:
+        """Round a requested token count up to a power-of-2 compile bucket,
+        capped at the server's max_new_tokens (static decode-scan length —
+        a handful of buckets instead of one compile per value)."""
+        n = max(1, min(n, self.max_new_tokens))
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_new_tokens)
+
     def generate_batch(self, requests: List[GenerationRequest]
                        ) -> List[np.ndarray]:
-        """Synchronous batched decode; returns per-request new tokens."""
+        """Synchronous batched decode; returns per-request new tokens.
+
+        Per-request temperature/top_p ride as traced [B] arrays (no
+        recompile per value); max_new_tokens selects a power-of-2 compile
+        bucket and each request's output is trimmed to its own limit.
+        """
         from aura_snn_rag_tpu.generation import generate
 
         assert len(requests) <= self.batch_size
         batch = self._pad_batch(requests)
+        temps = np.ones((self.batch_size,), np.float32)
+        top_ps = np.ones((self.batch_size,), np.float32)
+        for i, r in enumerate(requests):
+            temps[i] = r.temperature
+            top_ps[i] = r.top_p
+        bucket = self._bucket(max(r.max_new_tokens for r in requests))
         self.rng, sub = jax.random.split(self.rng)
-        if self._jit_generate is None:
+        if bucket not in self._jit_generate:
             use_memory = self.memory_state is not None
-            self._jit_generate = jax.jit(
-                lambda p, ids, r, mem: generate(
-                    self.model, p, ids, self.max_new_tokens, r,
-                    temperature=requests[0].temperature,
+            self._jit_generate[bucket] = jax.jit(
+                lambda p, ids, r, mem, t, tp: generate(
+                    self.model, p, ids, bucket, r,
+                    temperature=t, top_p=tp,
                     memory_state=mem, use_memory=use_memory))
-        out = self._jit_generate(self.params, jnp.asarray(batch), sub,
-                                 self.memory_state)
+        out = self._jit_generate[bucket](
+            self.params, jnp.asarray(batch), sub, self.memory_state,
+            jnp.asarray(temps), jnp.asarray(top_ps))
         new_tokens = np.asarray(out[:, self.prompt_pad:])
         self.stats["requests"] += len(requests)
         self.stats["batches"] += 1
-        self.stats["tokens"] += int(new_tokens.size)
+        self.stats["tokens"] += sum(
+            min(r.max_new_tokens, bucket) for r in requests)
         fill = len(requests) / self.batch_size
         n = self.stats["batches"]
         self.stats["mean_batch_fill"] += (fill - self.stats["mean_batch_fill"]) / n
-        return [new_tokens[i] for i in range(len(requests))]
+        return [new_tokens[i][:requests[i].max_new_tokens]
+                for i in range(len(requests))]
 
     # ------------------------------------------------------------------
-    async def submit(self, prompt_ids, max_new_tokens: int = 64
+    async def submit(self, prompt_ids, max_new_tokens: int = 64,
+                     temperature: float = 0.8, top_p: float = 0.9
                      ) -> np.ndarray:
         loop = asyncio.get_running_loop()
         req = GenerationRequest(np.asarray(prompt_ids),
-                                max_new_tokens, future=loop.create_future())
+                                max_new_tokens, temperature, top_p,
+                                future=loop.create_future())
         await self.queue.put(req)
         return await req.future
 

@@ -135,5 +135,11 @@ def retrieve_sharded(config: MemoryConfig, mesh: Mesh, state: MemoryState,
 
 def decay_memories_sharded(state: MemoryState,
                            decay_rate: float = 0.01) -> MemoryState:
-    """Decay is elementwise — no shard_map needed."""
-    return state._replace(strength=state.strength * (1.0 - decay_rate))
+    """Decay is elementwise — no shard_map needed.
+
+    Delegates to `engine.decay_memories` so BOTH `strength` and
+    `decay_accum` advance together: the IVF coarse path reconstructs
+    strength as exp(decay_accum − cluster_decay) (engine.py), so decaying
+    strength alone would corrupt sharded IVF candidate rankings.
+    """
+    return engine.decay_memories(state, decay_rate)

@@ -85,29 +85,49 @@ LiquidGatingNetwork = LiquidMoERouter
 
 
 class BanditGating:
-    """UCB bandit gating (host-side numpy; legacy-test API parity)."""
+    """UCB-1 expert selection, host-side (legacy-test API parity).
+
+    Behavioral spec (not code) from the reference's bandit gate
+    (/root/reference/src/core/liquid_moe.py:106-136): reward an expert
+    with max(0, 1 - error/10) per update, score with a UCB exploration
+    bonus, and renormalize the selected experts' gates by score mass.
+
+    Implementation differs from the reference: mean reward is tracked
+    incrementally (no reward-sum buffer), pulls start at zero with the
+    bonus handling the cold start, and top-k uses argpartition
+    (O(E) instead of a full sort).
+    """
 
     def __init__(self, n_experts: int, exploration_factor: float = 0.1):
         self.n_experts = n_experts
         self.exploration_factor = exploration_factor
-        self.counts = np.zeros(n_experts) + 1e-6
-        self.rewards = np.zeros(n_experts)
-        self.timestep = 1
+        self.mean_reward = np.zeros(n_experts, np.float64)
+        self.pulls = np.zeros(n_experts, np.int64)
+        self.total_pulls = 0
 
     def update(self, expert_idx: int, error: float) -> None:
-        self.counts[expert_idx] += 1
-        self.rewards[expert_idx] += max(0.0, 1.0 - error * 0.1)
-        self.timestep += 1
+        reward = max(0.0, 1.0 - 0.1 * error)
+        self.pulls[expert_idx] += 1
+        self.total_pulls += 1
+        # incremental mean: m += (r - m) / n
+        n = self.pulls[expert_idx]
+        self.mean_reward[expert_idx] += (
+            reward - self.mean_reward[expert_idx]) / n
 
     def get_ucb_scores(self) -> np.ndarray:
-        avg = self.rewards / self.counts
-        return avg + self.exploration_factor * np.sqrt(
-            np.log(self.timestep) / self.counts)
+        # unpulled arms get the full exploration bonus via the epsilon floor
+        eps = 1e-6
+        t = max(self.total_pulls, 1) + 1
+        bonus = np.sqrt(np.log(t) / (self.pulls + eps))
+        return self.mean_reward + self.exploration_factor * bonus
 
     def select_top_k(self, k: int, base_gates: np.ndarray):
         scores = self.get_ucb_scores()
-        top = scores.argsort()[::-1][:k]
-        gates = base_gates.copy()
-        if scores[top].sum() > 0:
-            gates[top] = scores[top] / scores[top].sum()
+        k = min(k, self.n_experts)
+        top = np.argpartition(-scores, k - 1)[:k]
+        top = top[np.argsort(-scores[top])]
+        gates = np.array(base_gates, copy=True)
+        mass = float(scores[top].sum())
+        if mass > 0:
+            gates[top] = scores[top] / mass
         return top.tolist(), gates

@@ -47,9 +47,9 @@ def heaviside_spike(v: jax.Array, slope: jax.Array) -> jax.Array:
 
     Backward (neuron.py:96-104): with s = slope,
       d/dv  = s / (1 + s*|v|)^2
-      d/ds  = -|v| ... derived from fast-sigmoid d/ds of s*v/(1+s*|v|):
-              v_abs-based reduction; we return the elementwise grad and let
-              the caller's parameter broadcasting reduce it.
+      d/ds  = -v / (1 + s*|v|)^2   (the reference's exact slope rule —
+              neuron.py:100-104); the elementwise grad is reduced over
+              broadcast dims to match the slope parameter's shape.
     """
     return (v >= 0.0).astype(v.dtype)
 
@@ -62,9 +62,9 @@ def _hs_bwd(res, g):
     v, slope = res
     denom = (1.0 + slope * jnp.abs(v)) ** 2
     dv = g * slope / denom
-    # d/dslope of fast-sigmoid sg(v) = v/(2*(1+s|v|)^2) evaluated elementwise;
-    # sum over broadcast dims so the cotangent matches `slope`'s shape.
-    dslope_elem = g * v / (2.0 * denom)
+    # slope cotangent matches the reference rule exactly: -g*v/denom
+    # (neuron.py:100-104) — sum over broadcast dims to `slope`'s shape.
+    dslope_elem = -g * v / denom
     dslope = _reduce_to_shape(dslope_elem, jnp.shape(slope))
     return dv, dslope
 

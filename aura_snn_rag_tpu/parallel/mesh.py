@@ -44,7 +44,12 @@ _RULES = [
 ]
 
 
-def param_sharding_rules(path: str) -> P:
+def param_sharding_rules(path: str, ndim: Optional[int] = None) -> P:
+    # Expert parallelism (SURVEY §2.8 EP row): stacked [E, ...] expert
+    # params shard over 'model' on the leading expert axis; GSPMD then
+    # turns the dispatch/combine einsums into all_to_all over ICI.
+    if "experts/" in path and ndim is not None and ndim >= 1:
+        return P(*(("model",) + (None,) * (ndim - 1)))
     for pattern, spec in _RULES:
         if re.search(pattern, path):
             return spec
@@ -66,7 +71,8 @@ def _path_str(key_path) -> str:
 def param_specs(params):
     """PartitionSpec pytree matching `params`."""
     return jax.tree_util.tree_map_with_path(
-        lambda kp, x: param_sharding_rules(_path_str(kp)), params)
+        lambda kp, x: param_sharding_rules(_path_str(kp), jnp.ndim(x)),
+        params)
 
 
 def shard_params(params, mesh: Mesh):

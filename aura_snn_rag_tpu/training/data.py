@@ -93,3 +93,44 @@ def batch_iterator(sequences: np.ndarray, batch_size: int,
         order = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):
             yield sequences[order[i:i + batch_size]]
+
+
+class TokenStream:
+    """Memmapped uint16/uint32 token stream → [B, L] batches.
+
+    The offline-corpus builder (tools/build_offline_corpus.py) writes one
+    flat token stream per split; batches are independent random windows
+    (train) or a deterministic sequential tiling (eval). Mirrors the
+    reference's pre-tokenized `.pt` consumption (colab_l4_training.py:
+    446-485) with a memmap so a 100M+-token stream costs no RSS.
+    """
+
+    def __init__(self, path: str, seq_len: int, seed: int = 0):
+        self.tokens = np.load(path, mmap_mode="r")
+        self.seq_len = seq_len
+        self.n_tokens = int(self.tokens.size)
+        assert self.n_tokens > seq_len + 1, "stream too short"
+        self._rng = np.random.RandomState(seed)
+
+    def sample_batch(self, batch_size: int) -> np.ndarray:
+        """[B, seq_len] random windows (labels = next-token shift of ids)."""
+        starts = self._rng.randint(
+            0, self.n_tokens - self.seq_len - 1, batch_size)
+        out = np.empty((batch_size, self.seq_len), np.int32)
+        for i, s in enumerate(starts):
+            out[i] = self.tokens[s:s + self.seq_len]
+        return out
+
+    def sample_chunk(self, n_steps: int, batch_size: int) -> np.ndarray:
+        """[N, B, seq_len] chunk for Trainer.train_chunk."""
+        flat = self.sample_batch(n_steps * batch_size)
+        return flat.reshape(n_steps, batch_size, self.seq_len)
+
+    def eval_batches(self, batch_size: int, max_batches: int = 16):
+        """Deterministic sequential [B, seq_len] tiling from the start."""
+        per = batch_size * self.seq_len
+        n = min(max_batches, (self.n_tokens - 1) // per)
+        for i in range(n):
+            window = np.asarray(
+                self.tokens[i * per:(i + 1) * per], np.int32)
+            yield window.reshape(batch_size, self.seq_len)

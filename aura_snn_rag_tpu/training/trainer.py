@@ -278,83 +278,78 @@ class Trainer:
                 thalamus_scale = jnp.clip(
                     jnp.abs(lang).mean(), 0.5, 1.5)
 
-            def loss_fn(params):
+            def batch_loss(params, ids_i, labels_i, prosody_i, rng_i):
+                """(loss-with-regularizers, (ce, out)) for one (micro)batch.
+
+                EWC is NOT included here: the accumulation path adds its
+                gradient once per optimizer step (not once per micro-batch),
+                matching the reference's accumulate-then-penalize semantics
+                (colab_l4_training.py:615-641).
+                """
                 out, _ = model.apply(
-                    params, input_ids, prosody=prosody,
+                    params, ids_i, prosody=prosody_i,
                     use_memory=use_memory,
                     memory_state=memory_state if cfg.use_rag else None,
-                    rngs={"dropout": dropout_rng})
+                    rngs={"dropout": rng_i})
                 logits = out.logits[:, :-1]
                 ce = hippocampal_loss(
-                    logits, labels[:, 1:], None,
+                    logits, labels_i[:, 1:], None,
                     label_smoothing=0.0, entropy_lambda=0.0,
                     sparsity_lambda=0.0)
                 loss = hippocampal_loss(
-                    logits, labels[:, 1:], out.place_activity,
+                    logits, labels_i[:, 1:], out.place_activity,
                     label_smoothing=tcfg.label_smoothing,
                     entropy_lambda=tcfg.entropy_lambda,
                     sparsity_lambda=tcfg.sparsity_lambda,
                     target_sparsity=tcfg.target_sparsity)
                 if reverse_replay:
                     out_r, _ = model.apply(
-                        params, input_ids[:, ::-1], prosody=prosody,
+                        params, ids_i[:, ::-1], prosody=prosody_i,
                         use_memory=use_memory,
                         memory_state=memory_state if cfg.use_rag else None,
-                        rngs={"dropout": dropout_rng})
+                        rngs={"dropout": rng_i})
                     loss = loss + 0.5 * hippocampal_loss(
-                        out_r.logits[:, :-1], labels[:, ::-1][:, 1:], None,
+                        out_r.logits[:, :-1], labels_i[:, ::-1][:, 1:], None,
                         label_smoothing=tcfg.label_smoothing,
                         entropy_lambda=tcfg.entropy_lambda,
                         sparsity_lambda=0.0)
-                if ewc.fisher is not None:
-                    loss = loss + ewc.penalty(params)
                 return loss, (ce, out)
 
             accum = max(1, tcfg.gradient_accumulation_steps)
             if accum > 1:
-                # micro-batch gradient accumulation: scan over [A, B/A, L]
+                # micro-batch gradient accumulation: lax.scan over
+                # [A, B/A, ...] slices of ids, LABELS, and PROSODY together
+                # (the labels/prosody must track their micro-batch — scoring
+                # logits against the inputs or reusing micro-batch 0's
+                # prosody silently trains the wrong objective).
                 B_full, L = input_ids.shape
                 mb = B_full // accum
                 ids_mb = input_ids[:mb * accum].reshape(accum, mb, L)
-                # lax.scan over micro-batches accumulating grads
+                labels_mb = labels[:mb * accum].reshape(accum, mb, L)
+                if prosody is not None:
+                    pros_mb = prosody[:mb * accum].reshape(
+                        accum, mb, L, prosody.shape[-1])
+                else:
+                    pros_mb = jnp.zeros((accum, mb, L, 4))
+                rngs_mb = jax.random.split(dropout_rng, accum)
                 zero_g = jax.tree.map(
                     lambda p: jnp.zeros_like(p, jnp.float32), state.params)
 
-                def micro(carry, ids_i):
+                def micro(carry, xs):
                     g_acc, loss_acc, ce_acc = carry
-                    nonlocal_input = ids_i
-
-                    def lf(params):
-                        out_i, _ = model.apply(
-                            params, nonlocal_input,
-                            prosody=(prosody[:mb]
-                                     if prosody is not None else None),
-                            use_memory=use_memory,
-                            memory_state=(memory_state if cfg.use_rag
-                                          else None),
-                            rngs={"dropout": dropout_rng})
-                        l = hippocampal_loss(
-                            out_i.logits[:, :-1], nonlocal_input[:, 1:],
-                            out_i.place_activity,
-                            label_smoothing=tcfg.label_smoothing,
-                            entropy_lambda=tcfg.entropy_lambda,
-                            sparsity_lambda=tcfg.sparsity_lambda,
-                            target_sparsity=tcfg.target_sparsity)
-                        c = hippocampal_loss(
-                            out_i.logits[:, :-1], nonlocal_input[:, 1:],
-                            None, label_smoothing=0.0, entropy_lambda=0.0,
-                            sparsity_lambda=0.0)
-                        return l, (c, out_i)
-
+                    ids_i, labels_i, pros_i, rng_i = xs
+                    pros_arg = pros_i if prosody is not None else None
                     (l, (c, out_i)), g = jax.value_and_grad(
-                        lf, has_aux=True)(state.params)
+                        batch_loss, has_aux=True)(
+                            state.params, ids_i, labels_i, pros_arg, rng_i)
                     g_acc = jax.tree.map(
                         lambda a, b: a + b.astype(jnp.float32), g_acc, g)
                     return (g_acc, loss_acc + l, ce_acc + c), \
                         out_i.memory_summary
 
                 (g_sum, loss_sum, ce_sum), summaries = jax.lax.scan(
-                    micro, (zero_g, jnp.zeros(()), jnp.zeros(())), ids_mb)
+                    micro, (zero_g, jnp.zeros(()), jnp.zeros(())),
+                    (ids_mb, labels_mb, pros_mb, rngs_mb))
                 grads = jax.tree.map(lambda g: g / accum, g_sum)
                 loss = loss_sum / accum
                 ce = ce_sum / accum
@@ -366,6 +361,13 @@ class Trainer:
                         lambda a, b: a + b.astype(a.dtype), grads, p_grads)
                 memory_summary = summaries.reshape(-1, summaries.shape[-1])
             else:
+                def loss_fn(params):
+                    loss, aux = batch_loss(params, input_ids, labels,
+                                           prosody, dropout_rng)
+                    if ewc.fisher is not None:
+                        loss = loss + ewc.penalty(params)
+                    return loss, aux
+
                 (loss, (ce, out)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params)
                 memory_summary = out.memory_summary

@@ -53,3 +53,49 @@ class TestServing:
         for out in (a, b, c):
             assert out.shape == (4,)
         assert gen.stats["batches"] >= 2  # batch_size 2 → at least 2 flushes
+
+
+class TestPerRequestParams:
+    """Per-request sampling params must be honored (ADVICE r1 medium: the
+    old closure baked requests[0].temperature and self.max_new_tokens into
+    the first compile)."""
+
+    def test_per_request_max_new_tokens_trimmed(self):
+        from aura_snn_rag_tpu.generation.serving import GenerationRequest
+        gen = make_generator()
+        reqs = [GenerationRequest(np.asarray([1, 2, 3]), max_new_tokens=2),
+                GenerationRequest(np.asarray([4, 5]), max_new_tokens=4)]
+        outs = gen.generate_batch(reqs)
+        assert outs[0].shape == (2,)
+        assert outs[1].shape == (4,)
+
+    def test_temperature_is_traced_not_baked(self):
+        """Two batches with different temperatures must not recompile, and
+        near-zero temperature must behave greedily (≈argmax) while a huge
+        temperature stays random — proving the value is live."""
+        from aura_snn_rag_tpu.generation.serving import GenerationRequest
+        gen = make_generator(batch_size=2)
+        r_cold = [GenerationRequest(np.asarray([1, 2, 3]),
+                                    temperature=1e-4, top_p=1.0)]
+        outs1 = gen.generate_batch(r_cold)
+        outs2 = gen.generate_batch([GenerationRequest(
+            np.asarray([1, 2, 3]), temperature=1e-4, top_p=1.0)])
+        # greedy at T→0: identical outputs across calls (same prompt)
+        np.testing.assert_array_equal(outs1[0], outs2[0])
+        # only one compile bucket was created despite differing temps later
+        n_compiled = len(gen._jit_generate)
+        gen.generate_batch([GenerationRequest(
+            np.asarray([1, 2, 3]), temperature=5.0, top_p=1.0)])
+        assert len(gen._jit_generate) == n_compiled
+
+    def test_hot_temperature_differs_from_cold(self):
+        from aura_snn_rag_tpu.generation.serving import GenerationRequest
+        gen = make_generator(batch_size=2)
+        cold = gen.generate_batch([GenerationRequest(
+            np.asarray([1, 2, 3]), temperature=1e-4, top_p=1.0)])[0]
+        hots = [gen.generate_batch([GenerationRequest(
+            np.asarray([1, 2, 3]), temperature=50.0, top_p=1.0)])[0]
+            for _ in range(4)]
+        # at T=50 the distribution is ~uniform over 512 tokens: the odds all
+        # 4 samples equal the greedy output are negligible
+        assert any(not np.array_equal(cold, h) for h in hots)
