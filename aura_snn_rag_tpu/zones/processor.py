@@ -164,13 +164,19 @@ class NeuromorphicProcessor:
 
     def __init__(self, d_model: int = 64,
                  event_bus: Optional[EventBus] = None,
-                 router_mode: str = "keyword"):
+                 router_mode: str = "keyword",
+                 stats_collector=None):
         self.d_model = d_model
         self.content_router = ContentRouter()
         self.event_bus = event_bus or EventBus()
         self.zone_forwards: Dict[str, Callable] = {}
         self.zone_capabilities: Dict[str, Set[str]] = {}
         self.stats = {"processed": 0, "zone_usage": {}, "errors": 0}
+        # live telemetry sink: zone forwards' activity dicts (firing rate,
+        # membrane stats) flow into the StatsCollector when attached —
+        # the reference's StatsCollector.update_from_brain wiring
+        # (snn_brain_stats.py:437-496)
+        self.stats_collector = stats_collector
         self.set_router_mode(router_mode)
         self._liquid_router = None
         self._liquid_params = None
@@ -249,6 +255,9 @@ class NeuromorphicProcessor:
                 out, zstats = self.zone_forwards[zone](x)
                 self.stats["zone_usage"][zone] += 1
                 info["zone_stats"][zone] = zstats
+                if self.stats_collector is not None and \
+                        isinstance(zstats, dict):
+                    self.stats_collector.update_zone_activity(zone, zstats)
                 contrib = out * weight
                 combined = contrib if combined is None else combined + contrib
                 self.event_bus.emit("neuron_fired", source=zone,
