@@ -52,6 +52,11 @@ class MemoryConfig:
     grid_max_rate: float = 25.0
     # Lloyd iterations in a full rebuild (reference uses 1: hippocampal.py:357).
     rebuild_lloyd_iters: int = 1
+    # Capacity-overflow spill rounds: rows overflowing a full bucket move to
+    # their next-nearest centroid, iteratively (cuckoo-style). Each round
+    # shrinks residual drops geometrically; rows still overflowing after the
+    # last round are reachable only by the flat/brute paths.
+    spill_rounds: int = 3
     # fused Pallas gather+score kernel for the IVF path (TPU backends only)
     use_pallas_ivf: bool = True
 
