@@ -35,9 +35,12 @@ K = 1024 if SMALL else 4096
 PROBE = 32 if SMALL else 64
 LLOYD_ITERS = 2
 TOPK = 10
-# batched serving: larger batches amortize the one-pass bank read
+# batched serving: larger batches amortize the one-pass bank read; enough
+# in-flight batches amortize the dispatch roundtrip (sustained throughput —
+# benchmarks/bench_retrieval_latency.py separately reports single-dispatch
+# wall latency)
 QUERY_BATCH = 32 if SMALL else 128
-N_QUERY_BATCHES = 8 if SMALL else 4
+N_QUERY_BATCHES = 8 if SMALL else 16
 BASELINE_QUERIES = 8 if SMALL else 16
 BASELINE_K = 256      # the reference's own defaults (hippocampal.py:114,:262)
 BASELINE_PROBE = 8
