@@ -235,7 +235,23 @@ def get_medium_config() -> AuraConfig:
 
 
 def get_full_config() -> AuraConfig:
-    """Flagship ~271M-class preset (MODEL_CARD.md:30-31 parity)."""
+    """Flagship preset — the reference's production config exactly
+    (colab_l4_training.py:165-180: 768D/12L/12H/3072, seq 512, SNN FFN on
+    even layers, RAG on, 100k memories; MODEL_CARD.md:30 counts ~271M
+    params including the hippocampal buffers)."""
+    return _cfg(
+        dict(embedding_dim=768, num_layers=12, num_heads=12,
+             intermediate_size=3072, max_seq_len=512, n_place_cells=2000,
+             use_rag=True, snn_layers=(0, 2, 4, 6, 8, 10)),
+        dict(max_memories=100_000, feature_dim=768),
+        dict(batch_size=32, max_steps=50_000, warmup_steps=2000,
+             memory_warmup_steps=5000),
+    )
+
+
+def get_xl_config() -> AuraConfig:
+    """Beyond-reference scale (1024D/16L, ~410M trainable) — the TPU build
+    headroom preset; no reference equivalent."""
     return _cfg(
         dict(embedding_dim=1024, num_layers=16, num_heads=16,
              intermediate_size=4096, n_place_cells=2000, use_rag=True,

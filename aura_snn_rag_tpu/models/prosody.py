@@ -181,3 +181,55 @@ def prosody_gif_scan(params: GIFParams, currents: jax.Array,
         step, (v0, th0),
         (jnp.moveaxis(currents, 1, 0), jnp.moveaxis(attention_gains, 1, 0)))
     return jnp.moveaxis(spikes, 0, 1), (v, theta)
+
+
+# ---------------------------------------------------------------------------
+# Emotion-head → prosody integration
+# ---------------------------------------------------------------------------
+# The reference trains EmotionPersonalityHead but never wires it into the
+# prosody pipeline (/root/reference/TODO.md:6, SURVEY §2.7). This closes
+# that loop: emotion probabilities map onto the circumplex (arousal,
+# valence) plane, modulating both the per-token attention gains and the
+# [B, L, 4] prosody tensor the transformer's query gate consumes.
+
+# circumplex-model coordinates for the 8 emotion classes
+# (joy, sad, anger, fear, surprise, disgust, trust, neutral)
+EMOTION_AROUSAL = (0.7, 0.3, 0.9, 0.8, 0.9, 0.6, 0.4, 0.2)
+EMOTION_VALENCE = (0.8, -0.7, -0.8, -0.6, 0.3, -0.7, 0.6, 0.0)
+# tone classes (formal, casual, urgent, calm) → gain multipliers
+TONE_GAIN = (1.0, 1.0, 1.3, 0.8)
+
+
+def emotion_modulated_prosody(token_ids: jax.Array, features: jax.Array,
+                              head, head_params,
+                              cfg: ProsodyAttentionConfig =
+                              ANALYTICAL_BALANCED
+                              ) -> Tuple[jax.Array, jax.Array,
+                                         Dict[str, jax.Array]]:
+    """Emotion-conditioned prosody.
+
+    token_ids [B, T], features [B, T, D] (e.g. token embeddings) →
+      gains   [B, T]    — spiking-attention gains scaled by arousal + tone,
+      prosody [B, T, 4] — (arousal, valence, arousal, valence) per sample,
+      info              — salience/winners + emotion posteriors.
+    """
+    pooled = features.mean(axis=1)
+    logits = head.apply(head_params, pooled)
+    p_emo = jax.nn.softmax(logits["emotion"], axis=-1)       # [B, 8]
+    p_tone = jax.nn.softmax(logits["tone"], axis=-1)         # [B, 4]
+    arousal = p_emo @ jnp.asarray(EMOTION_AROUSAL)           # [B]
+    valence = p_emo @ jnp.asarray(EMOTION_VALENCE)           # [B]
+    tone_gain = p_tone @ jnp.asarray(TONE_GAIN)              # [B]
+
+    gains, info = prosody_attention_gains(token_ids, cfg)
+    # arousal boosts, tone scales — clamped to the config's gain band
+    gains = gains * (1.0 + 0.3 * jnp.tanh(arousal))[:, None]
+    gains = jnp.clip(gains * tone_gain[:, None],
+                     cfg.min_gain, cfg.max_gain * 1.5)
+
+    B, T = token_ids.shape
+    pros = jnp.stack([arousal, valence, arousal, valence], axis=-1)
+    prosody = jnp.broadcast_to(pros[:, None, :], (B, T, 4))
+    info = dict(info, emotion_probs=p_emo, arousal=arousal,
+                valence=valence, tone_gain=tone_gain)
+    return gains, prosody, info

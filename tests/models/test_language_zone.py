@@ -141,3 +141,61 @@ class TestLanguageZones:
 
         g = jax.grad(loss)(params)
         assert any(jnp.any(l != 0) for l in jax.tree.leaves(g))
+
+
+class TestEmotionModulatedProsody:
+    """Emotion-head → prosody wiring (the reference's open TODO,
+    /root/reference/TODO.md:6): emotion posteriors map to circumplex
+    (arousal, valence) and modulate gains + the [B, L, 4] prosody tensor."""
+
+    def _setup(self):
+        import jax
+        from aura_snn_rag_tpu.models.emotion_head import (
+            EmotionHeadConfig, EmotionPersonalityHead)
+        head = EmotionPersonalityHead(EmotionHeadConfig(d_model=16,
+                                                        trunk_dim=8))
+        feats = jax.random.normal(jax.random.PRNGKey(0), (3, 7, 16))
+        params = head.init(jax.random.PRNGKey(1), feats.mean(axis=1))
+        ids = jnp.asarray(np.random.RandomState(0).randint(1, 100, (3, 7)))
+        return head, params, ids, feats
+
+    def test_shapes_and_finiteness(self):
+        from aura_snn_rag_tpu.models.prosody import emotion_modulated_prosody
+        head, params, ids, feats = self._setup()
+        gains, prosody, info = emotion_modulated_prosody(
+            ids, feats, head, params)
+        assert gains.shape == (3, 7)
+        assert prosody.shape == (3, 7, 4)
+        assert np.isfinite(np.asarray(gains)).all()
+        assert info["emotion_probs"].shape == (3, 8)
+        # arousal channel == prosody channel 0 and 2
+        np.testing.assert_allclose(np.asarray(prosody[..., 0]),
+                                   np.asarray(prosody[..., 2]))
+
+    def test_arousal_raises_gains(self):
+        """Force high-arousal (anger) vs low-arousal (neutral) posteriors
+        through the circumplex mapping: gains must be larger for anger."""
+        import jax
+        from aura_snn_rag_tpu.models import prosody as pm
+        head, params, ids, feats = self._setup()
+
+        class FakeHead:
+            def __init__(self, emo_idx):
+                self.emo_idx = emo_idx
+
+            def apply(self, p, x):
+                B = x.shape[0]
+                logits = jnp.full((B, 8), -10.0).at[:, self.emo_idx].set(10.0)
+                return {"emotion": logits,
+                        "intent": jnp.zeros((B, 6)),
+                        "tone": jnp.zeros((B, 4)),
+                        "personality": jnp.zeros((B, 5))}
+
+        g_anger, pr_anger, _ = pm.emotion_modulated_prosody(
+            ids, feats, FakeHead(2), None)   # anger: arousal 0.9
+        g_neutral, pr_neutral, _ = pm.emotion_modulated_prosody(
+            ids, feats, FakeHead(7), None)   # neutral: arousal 0.2
+        assert float(g_anger.mean()) > float(g_neutral.mean())
+        assert float(pr_anger[..., 0].mean()) > float(pr_neutral[..., 0].mean())
+        # valence signs: anger negative, neutral ~0
+        assert float(pr_anger[..., 1].mean()) < -0.5

@@ -48,3 +48,53 @@ class TestCheckpoint:
         # training continues from restored state
         m = tr2.train_step(batch, batch)
         assert np.isfinite(m["loss"])
+
+
+class TestShardedBankCheckpoint:
+    """Orbax save/restore of a SHARDED episodic bank must round-trip
+    (VERDICT r1 #9): stacked [S, ...] per-shard states placed on a mesh
+    survive a save → fresh-trainer restore → re-shard cycle bit-exactly."""
+
+    def test_sharded_bank_roundtrip(self, tmp_path):
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh
+        from aura_snn_rag_tpu.config import get_debug_config
+        from aura_snn_rag_tpu.memory.sharded import (
+            init_sharded_memory, write_memories_sharded)
+        from aura_snn_rag_tpu.training.checkpoint import CheckpointManager
+        from aura_snn_rag_tpu.training.trainer import Trainer
+
+        cfg = get_debug_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, use_rag=True),
+            training=dataclasses.replace(
+                cfg.training, enable_thalamus=False,
+                enable_amygdala=False))
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4, 1),
+                    ("data", "model"))
+
+        tr = Trainer(cfg, seed=0)
+        tr.shard_to_mesh(mesh, shard_memory=True)
+        rng = np.random.RandomState(0)
+        feats = rng.randn(8, cfg.memory.feature_dim).astype(np.float32)
+        tr.hippocampus.state = write_memories_sharded(
+            cfg.memory, mesh, tr.hippocampus.state,
+            jnp.asarray(feats), jnp.zeros((8, cfg.memory.spatial_dims)))
+        want_feats = np.asarray(tr.hippocampus.state.features)
+        want_count = np.asarray(tr.hippocampus.state.count)
+        assert want_count.shape == (4,) and (want_count == 2).all()
+
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        ckpt.save(3, tr, loss=1.0)
+
+        tr2 = Trainer(cfg, seed=1)
+        tr2.shard_to_mesh(mesh, shard_memory=True)
+        step = ckpt.restore(tr2)
+        assert step == 3
+        np.testing.assert_array_equal(
+            np.asarray(tr2.hippocampus.state.features), want_feats)
+        np.testing.assert_array_equal(
+            np.asarray(tr2.hippocampus.state.count), want_count)
