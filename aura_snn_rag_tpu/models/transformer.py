@@ -73,25 +73,32 @@ class HippocampalTransformer(nn.Module):
                 hidden, deterministic=self.deterministic)
 
         new_caches = [] if kv_caches is not None else None
+        # rematerialization must wrap the MODULE (nn.remat), not a closure
+        # over it — raw jax.checkpoint around a compact submodule call lets
+        # param-creation tracers escape the remat scope. static_argnums
+        # count self as 0; `use_memory` is the only Python-bool arg.
+        remat_on = cfg.use_gradient_checkpointing and kv_caches is None
+        rag_cls = MemoryAugmentedLayer
+        plain_cls = TransformerLayer
+        if remat_on:
+            rag_cls = nn.remat(MemoryAugmentedLayer, static_argnums=(4,))
+            plain_cls = nn.remat(TransformerLayer, static_argnums=(3,))
         for i in range(cfg.num_layers):
             use_snn = i in cfg.snn_layers
             cache_i = kv_caches[i] if kv_caches is not None else None
             if cfg.use_rag and self.memory_config is not None:
-                layer = MemoryAugmentedLayer(
+                layer = rag_cls(
                     cfg, self.memory_config, use_snn_ffn=use_snn,
                     deterministic=self.deterministic,
                     retrieve_fn=self.retrieve_fn, name=f"layer_{i}")
-                call = lambda h: layer(h, memory_state, prosody, use_memory,
-                                       cache_i, cache_index)
+                hidden, cache_out = layer(hidden, memory_state, prosody,
+                                          use_memory, cache_i, cache_index)
             else:
-                layer = TransformerLayer(
+                layer = plain_cls(
                     cfg, use_snn_ffn=use_snn,
                     deterministic=self.deterministic, name=f"layer_{i}")
-                call = lambda h: layer(h, prosody, use_memory,
-                                       cache_i, cache_index)
-            if cfg.use_gradient_checkpointing and kv_caches is None:
-                call = jax.checkpoint(call)
-            hidden, cache_out = call(hidden)
+                hidden, cache_out = layer(hidden, prosody, use_memory,
+                                          cache_i, cache_index)
             if new_caches is not None:
                 new_caches.append(cache_out)
 
