@@ -146,3 +146,98 @@ def brain_demo(text):
 
 if __name__ == "__main__":
     main()
+
+
+@main.command()
+@click.option("--out", default="/root/data/corpus")
+@click.option("--vocab", default=32_000, type=int)
+def corpus(out, vocab):
+    """Build the offline training corpus (on-disk code+prose → BPE →
+    uint16 token streams). See tools/build_offline_corpus.py."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable,
+                    os.path.join(repo, "tools", "build_offline_corpus.py"),
+                    "--out", out, "--vocab", str(vocab)], check=True)
+
+
+@main.command()
+@click.option("--epochs", default=5, type=int)
+@click.option("--hidden", default=1024, type=int)
+def mnist(epochs, hidden):
+    """Run the hybrid Whitener→Oja→readout benchmark (reference gate:
+    94.34% — README-github.md:228)."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable,
+                    os.path.join(repo, "benchmarks", "bench_mnist.py"),
+                    "--epochs", str(epochs), "--hidden", str(hidden)],
+                   check=True)
+
+
+@main.command()
+@click.option("--host", default="127.0.0.1")
+@click.option("--port", default=8787, type=int)
+@click.option("--preset", default="test")
+@click.option("--checkpoint-dir", default=None, type=click.Path())
+@click.option("--batch-size", default=8, type=int)
+@click.option("--max-new-tokens", default=64, type=int)
+def serve(host, port, preset, checkpoint_dir, batch_size, max_new_tokens):
+    """HTTP generation server over the batched KV-cached decoder.
+
+    POST /generate {"prompt_ids": [...], "max_new_tokens": N,
+    "temperature": T, "top_p": P} → {"tokens": [...]}; GET /stats.
+    No reference equivalent (the reference has no serving story).
+    """
+    import asyncio
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aura_snn_rag_tpu import config as cfg_mod
+    from aura_snn_rag_tpu.generation.serving import BatchedGenerator
+    from aura_snn_rag_tpu.models import HippocampalTransformer
+
+    cfg = getattr(cfg_mod, f"get_{preset}_config")()
+    model_cfg = dataclasses.replace(cfg.model, dropout=0.0)
+    model = HippocampalTransformer(model_cfg, deterministic=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    if checkpoint_dir:
+        from aura_snn_rag_tpu.training.checkpoint import CheckpointManager
+        from aura_snn_rag_tpu.training.trainer import Trainer
+        tr = Trainer(cfg, seed=0)
+        CheckpointManager(checkpoint_dir).restore(tr)
+        params = tr.state.params
+    gen = BatchedGenerator(model, params, batch_size=batch_size,
+                           prompt_pad=64, max_new_tokens=max_new_tokens)
+
+    async def run_server():
+        from aiohttp import web
+
+        async def handle_generate(request):
+            body = await request.json()
+            toks = await gen.submit(
+                np.asarray(body["prompt_ids"], np.int32),
+                max_new_tokens=int(body.get("max_new_tokens",
+                                            max_new_tokens)),
+                temperature=float(body.get("temperature", 0.8)),
+                top_p=float(body.get("top_p", 0.9)))
+            return web.json_response({"tokens": [int(t) for t in toks]})
+
+        async def handle_stats(request):
+            return web.json_response(gen.stats)
+
+        app = web.Application()
+        app.router.add_post("/generate", handle_generate)
+        app.router.add_get("/stats", handle_stats)
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, host, port)
+        await site.start()
+        click.echo(f"serving on http://{host}:{port}")
+        server = asyncio.create_task(gen.serve_forever())
+        await server
+
+    asyncio.run(run_server())
