@@ -242,7 +242,12 @@ class SNNFFN(nn.Module):
         dt = _dtype(cfg)
         T = cfg.snn_timesteps
         B, L, D = x.shape
-        gp = gif_params(levels=cfg.snn_levels, dtype=jnp.float32)
+        # GIF dynamics run in the model compute dtype: the [B·L, T, 3072]
+        # time-expanded tensors are the largest activations in the model
+        # (f32 here = multi-GB per layer in the backward at B=32, L=512);
+        # multi-bit spikes (levels ≤ 16) and theta adaptation tolerate
+        # bf16 resolution (~2^-7 near 1.0)
+        gp = gif_params(levels=cfg.snn_levels, dtype=dt)
 
         # [B, L, D] -> [B*L, T, D] (each token becomes a T-step current)
         xt = jnp.broadcast_to(x[:, :, None, :], (B, L, T, D))
@@ -251,13 +256,13 @@ class SNNFFN(nn.Module):
         h1 = Synapsis(cfg.intermediate_size, dtype=dt, name="syn1")(xt)
         # GIF input projection (gif_neuron.py:31 linear) then dynamics
         h1 = nn.Dense(cfg.intermediate_size, dtype=dt, name="gif1_in")(h1)
-        s1, _ = gif_scan(gp, h1.astype(jnp.float32))
+        s1, _ = gif_scan(gp, h1.astype(dt))
 
         h2 = Synapsis(cfg.embedding_dim, dtype=dt, name="syn2")(s1)
         h2 = nn.Dense(cfg.embedding_dim, dtype=dt, name="gif2_in")(h2)
-        s2, _ = gif_scan(gp, h2.astype(jnp.float32))
+        s2, _ = gif_scan(gp, h2.astype(dt))
 
-        out = s2.mean(axis=1).reshape(B, L, D).astype(dt)
+        out = s2.astype(jnp.float32).mean(axis=1).reshape(B, L, D).astype(dt)
         if cfg.dropout > 0:
             out = nn.Dropout(cfg.dropout)(out,
                                           deterministic=self.deterministic)

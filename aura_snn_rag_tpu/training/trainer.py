@@ -239,8 +239,12 @@ class Trainer:
     # ------------------------------------------------------------------
     # jitted step builders
     # ------------------------------------------------------------------
-    def _build_step(self, use_memory: bool, store_memory: bool,
+    def _build_step(self, use_memory: bool, store_memory,
                     reverse_replay: bool):
+        """store_memory: True/False (static) or the string \"traced\" —
+        traced mode adds a `store_flag` scalar argument and wraps only the
+        episodic write in lax.cond, so the chunk path compiles ONE step
+        body instead of two (halves the chunk graph / compile memory)."""
         model = self.model
         cfg = self.config.model
         tcfg = self.config.training
@@ -253,7 +257,7 @@ class Trainer:
 
         def step_fn(state: TrainState, memory_state: MemoryState,
                     input_ids, labels, lr_scale, dropout_rng,
-                    amygdala_params, thalamus_params):
+                    amygdala_params, thalamus_params, store_flag=None):
             # --- prosody from amygdala on token embeddings (stop-grad) ---
             prosody = None
             thalamus_scale = jnp.ones(())
@@ -389,18 +393,24 @@ class Trainer:
                 if hasattr(new, "shape") else new,
                 opt_state, state.opt_state)
 
-            if store_memory:
+            if store_memory is not False:          # True or "traced"
                 B = memory_summary.shape[0]
-                if memory_mesh is not None:
-                    from aura_snn_rag_tpu.memory.sharded import (
-                        write_memories_sharded)
-                    memory_state = write_memories_sharded(
-                        mcfg, memory_mesh, memory_state, memory_summary,
-                        jnp.zeros((B, mcfg.spatial_dims)))
+                locs = jnp.zeros((B, mcfg.spatial_dims))
+
+                def do_write(ms):
+                    if memory_mesh is not None:
+                        from aura_snn_rag_tpu.memory.sharded import (
+                            write_memories_sharded)
+                        return write_memories_sharded(
+                            mcfg, memory_mesh, ms, memory_summary, locs)
+                    return memory_engine.write_memories(
+                        mcfg, ms, memory_summary, locs)
+
+                if store_memory == "traced":
+                    memory_state = jax.lax.cond(
+                        store_flag, do_write, lambda ms: ms, memory_state)
                 else:
-                    memory_state = memory_engine.write_memories(
-                        mcfg, memory_state, memory_summary,
-                        jnp.zeros((B, mcfg.spatial_dims)))
+                    memory_state = do_write(memory_state)
             memory_state = memory_engine.tick(memory_state, 1.0)
 
             new_state = TrainState(params, opt_state, state.step + 1)
@@ -427,23 +437,19 @@ class Trainer:
         (lax.cond between the store/no-store step variants); modulator
         scalars are fixed for the chunk.
         """
-        step_store = self._build_step(use_memory, True, False)
-        step_nostore = self._build_step(use_memory, False, False)
+        # ONE step body with a traced store flag (lax.cond wraps only the
+        # episodic write) — compiling two full step variants doubled the
+        # chunk graph and blew HBM at flagship scale
+        step = self._build_step(use_memory, "traced", False)
 
         def chunk_fn(state, memory_state, ids, labels, store_mask,
                      lr_scale, rngs, amygdala_params, thalamus_params):
             def body(carry, xs):
                 st, mem = carry
                 ids_i, labels_i, store_i, rng_i = xs
-                st, mem, m = jax.lax.cond(
-                    store_i,
-                    lambda s, mm: step_store(
-                        s, mm, ids_i, labels_i, lr_scale, rng_i,
-                        amygdala_params, thalamus_params),
-                    lambda s, mm: step_nostore(
-                        s, mm, ids_i, labels_i, lr_scale, rng_i,
-                        amygdala_params, thalamus_params),
-                    st, mem)
+                st, mem, m = step(st, mem, ids_i, labels_i, lr_scale,
+                                  rng_i, amygdala_params, thalamus_params,
+                                  store_i)
                 return (st, mem), m
 
             (state, memory_state), metrics = jax.lax.scan(
