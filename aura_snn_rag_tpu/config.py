@@ -129,6 +129,10 @@ class TrainingConfig:
     min_lr_ratio: float = 0.1
     weight_decay: float = 0.01
     gradient_clip: float = 1.0
+    # AdamW first-moment dtype: "bfloat16" halves that optimizer buffer
+    # (~0.9 GB at flagship scale) with negligible effect on convergence;
+    # the second moment stays f32 (it spans orders of magnitude).
+    optimizer_mu_dtype: str = "float32"
 
     label_smoothing: float = 0.1
     entropy_lambda: float = 0.05

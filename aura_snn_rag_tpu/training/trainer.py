@@ -138,9 +138,12 @@ class Trainer:
 
         self.schedule = warmup_cosine_schedule(
             tcfg.lr, tcfg.warmup_steps, tcfg.max_steps, tcfg.min_lr_ratio)
+        mu_dtype = (jnp.bfloat16 if tcfg.optimizer_mu_dtype == "bfloat16"
+                    else None)
         self.tx = optax.chain(
             optax.clip_by_global_norm(tcfg.gradient_clip),
-            optax.adamw(self.schedule, weight_decay=tcfg.weight_decay),
+            optax.adamw(self.schedule, weight_decay=tcfg.weight_decay,
+                        mu_dtype=mu_dtype),
         )
         self.opt_state = self.tx.init(self.params)
         self.state = TrainState(self.params, self.opt_state,
