@@ -40,8 +40,20 @@ class BatchedGenerator:
     def __init__(self, model, params, batch_size: int = 8,
                  prompt_pad: int = 64, max_new_tokens: int = 64,
                  memory_state=None, pad_token_id: int = 0,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, mesh=None):
+        """mesh: optional ('data','model') Mesh — params are placed
+        tensor-parallel per parallel/mesh.py rules and decode runs sharded
+        (TP collectives over ICI); batches replicate over 'data'."""
         self.model = model
+        if mesh is not None:
+            from aura_snn_rag_tpu.parallel.mesh import shard_params
+            params = shard_params(params, mesh)
+            if memory_state is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(mesh, P())
+                memory_state = jax.tree.map(
+                    lambda x: jax.device_put(x, repl), memory_state)
+        self.mesh = mesh
         self.params = params
         self.batch_size = batch_size
         self.prompt_pad = prompt_pad
