@@ -231,6 +231,8 @@ class Trainer:
             self.hippocampus.state = put_repl(self.hippocampus.state)
         self.mesh = mesh
         self._step_fns.clear()
+        if hasattr(self, "_eval_fn"):
+            del self._eval_fn            # eval_model was re-cloned
 
     def _place_batch(self, x):
         if self.mesh is None:
@@ -660,8 +662,17 @@ class Trainer:
         return getattr(self, "_hormones", {})
 
     def eval_loss(self, input_ids, labels) -> float:
-        out, _ = self.eval_model.apply(
-            self.state.params, jnp.asarray(input_ids), use_memory=False)
-        return float(hippocampal_loss(
-            out.logits[:, :-1], jnp.asarray(labels)[:, 1:],
-            entropy_lambda=0.0, label_smoothing=0.0))
+        if not hasattr(self, "_eval_fn"):
+            model = self.eval_model
+
+            @jax.jit
+            def _eval(params, ids, lbls):
+                out, _ = model.apply(params, ids, use_memory=False)
+                return hippocampal_loss(
+                    out.logits[:, :-1], lbls[:, 1:],
+                    entropy_lambda=0.0, label_smoothing=0.0)
+
+            self._eval_fn = _eval
+        return float(self._eval_fn(self.state.params,
+                                   jnp.asarray(input_ids),
+                                   jnp.asarray(labels)))
