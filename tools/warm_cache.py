@@ -1,0 +1,68 @@
+"""Pre-compile the hot entry points into the persistent compile cache.
+
+Mitigation for cold-compile fragility (round-1 weak #5): on tunneled/AOT
+backends a cold compile of the 1M-row index rebuild takes minutes; this
+tool warms the cache for the shapes production uses so a cache wipe (or a
+fresh host) pays the cost once, offline, instead of on the serving path.
+
+    python tools/warm_cache.py [--n 1000000] [--d 768] [--batches 1,8,32,128]
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--probe", type=int, default=64)
+    ap.add_argument("--batches", default="1,8,32,128")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aura_snn_rag_tpu.config import MemoryConfig
+    from aura_snn_rag_tpu.memory import (
+        init_memory_state, rebuild_centroids, retrieve, retrieve_flat)
+    from aura_snn_rag_tpu.memory.engine import bulk_load, write_memories
+
+    cfg = MemoryConfig(max_memories=args.n, feature_dim=args.d,
+                       k_centroids=args.k, probe_centroids=args.probe,
+                       bucket_overprovision=2.0, rebuild_lloyd_iters=2,
+                       n_place_cells=16, n_grid_cells=8, n_time_cells=4)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(args.n, args.d).astype(np.float32)
+
+    t0 = time.time()
+    state = init_memory_state(cfg)
+    state = bulk_load(cfg, state, jnp.asarray(feats),
+                      jnp.zeros((args.n, 2), np.float32))
+    state = rebuild_centroids(cfg, state, jax.random.PRNGKey(0))
+    np.asarray(state.centroid_counts)
+    print(f"rebuild warmed in {time.time()-t0:.1f}s", flush=True)
+
+    state = write_memories(cfg, state,
+                           jnp.asarray(feats[:8]), jnp.zeros((8, 2)))
+    np.asarray(state.count)
+    print("write warmed", flush=True)
+
+    for B in [int(b) for b in args.batches.split(",")]:
+        q = jnp.asarray(feats[:B])
+        for name, fn in (("ivf", retrieve), ("flat", retrieve_flat)):
+            t0 = time.time()
+            res = fn(cfg, state, q, None, 10)
+            np.asarray(res.indices)
+            print(f"{name} B={B} warmed in {time.time()-t0:.1f}s",
+                  flush=True)
+    print("cache warm", flush=True)
+
+
+if __name__ == "__main__":
+    main()
