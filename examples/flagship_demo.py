@@ -42,8 +42,12 @@ def main():
         meta = json.load(f)
 
     cfg = getattr(cfg_mod, f"get_{args.preset}_config")()
-    cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, vocab_size=meta["vocab_size"], dropout=0.0))
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, vocab_size=meta["vocab_size"], dropout=0.0),
+        # must match the training run's modulator flags so the checkpoint
+        # tree structure lines up (train_flagship.py sets thalamus off)
+        training=dataclasses.replace(cfg.training, enable_thalamus=False))
     trainer = Trainer(cfg, seed=0)
     step = CheckpointManager(args.checkpoint_dir).restore(trainer)
     print(f"restored step {step}, "
