@@ -35,6 +35,12 @@ class MemoryConfig:
     # candidates per query for the exact f32 rerank (near-tie scores below
     # bf16 resolution need a wide funnel)
     rerank_candidates: int = 128
+    # approx_max_k recall target in the IVF funnel. The IVF candidate row is
+    # only probe×capacity (~32-64k) wide, so the hardware top-k's recall
+    # slack binds there (0.95 measured ≈ 0.96 end-to-end recall@10); 0.99
+    # restores ≥0.99 recall for ~zero cost at that row width. The flat path
+    # keeps 0.95: its funnel spans the full bank and the slack is absorbed.
+    ivf_funnel_recall: float = 0.99
     # Bucketed IVF layout: per-centroid candidate list capacity. Static shape
     # requirement on TPU; capacity = overprovision * max_memories/k_centroids.
     bucket_overprovision: float = 2.0

@@ -260,7 +260,10 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
     # cannot resolve near-tie cosines; the rerank restores exactness on the
     # survivors at negligible cost).
     kk = min(max(config.rerank_candidates, 4 * k), combined.shape[-1])
-    _, pick = jax.lax.approx_max_k(combined, kk, recall_target=0.95)
+    # the IVF candidate row is narrow (probe×capacity); the hardware
+    # top-k's recall slack binds here — use the configured high target
+    _, pick = jax.lax.approx_max_k(
+        combined, kk, recall_target=config.ivf_funnel_recall)
     cand_slots = jnp.take_along_axis(slots, pick, axis=1)
     cand_valid = jnp.take_along_axis(valid, pick, axis=1)
 
