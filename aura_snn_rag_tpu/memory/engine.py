@@ -226,46 +226,86 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
     valid = (gens >= 0) & (gens >= state.count - state.max_memories)
     slots = jnp.maximum(slots_raw, 0)
 
-    if config.use_pallas_ivf and _ivf_kernel_ok():
-        # fused gather+dot kernel: one HBM pass over the probed blocks
-        from aura_snn_rag_tpu.ops.pallas.ivf_scan import ivf_scan_scores
-        cos = ivf_scan_scores(state.clustered, qn, top_c)       # [B, P, C]
+    kk = min(max(config.rerank_candidates, 4 * k),
+             int(top_c.shape[1]) * state.bucket_capacity)
+    if (config.use_pallas_ivf and _ivf_kernel_ok()
+            and query_locations is None):
+        # v2 fused kernel: gather + metadata score + per-probe EXACT top-k
+        # in one HBM pass. The union of per-probe top-k contains the global
+        # top-k over all probed candidates, so this funnel has no
+        # approx_max_k recall slack and no [B, P, C] intermediates.
+        from aura_snn_rag_tpu.ops.pallas.ivf_scan import (
+            default_interpret, ivf_topk_scores)
+        strength_all = jnp.exp(state.decay_accum - state.cluster_decay)
+        ages_all = (state.step - state.cluster_ts) * config.seconds_per_step
+        temporal_all = jnp.exp(
+            -jnp.maximum(ages_all, 0.0) / config.temporal_tau)
+        valid_all = ((state.cluster_gen >= 0)
+                     & (state.cluster_gen >= state.count - state.max_memories))
+        aux_add = (config.w_temporal * temporal_all * strength_all
+                   + jnp.where(valid_all, 0.0, NEG_INF))
+        Kc, Cc = aux_add.shape
+        aux = jnp.concatenate([
+            (config.w_cosine * strength_all)[:, None],
+            aux_add[:, None],
+            state.cluster_slot.astype(jnp.float32)[:, None],
+            jnp.zeros((Kc, 5, Cc), jnp.float32)], axis=1)
+        per_k = min(max(k, -(-kk // P)), state.bucket_capacity)
+        sc, sl = ivf_topk_scores(state.clustered, aux, qn, top_c, per_k,
+                                 interpret=default_interpret())
+        combined = sc[:, :, :per_k].reshape(B, -1)
+        slots = jnp.maximum(sl[:, :, :per_k], 0).reshape(B, -1)
+        valid = combined > NEG_INF / 2
     else:
-        blocks = state.clustered[top_c]                         # [B,P,C,D]
-        cos = jnp.einsum("bpcd,bd->bpc", blocks.astype(jnp.float32), qn)
+        if config.use_pallas_ivf and _ivf_kernel_ok():
+            # fused gather+dot kernel: one HBM pass over the probed blocks
+            from aura_snn_rag_tpu.ops.pallas.ivf_scan import (
+                default_interpret, ivf_scan_scores)
+            cos = ivf_scan_scores(state.clustered, qn, top_c,
+                                  interpret=default_interpret())  # [B,P,C]
+        else:
+            blocks = state.clustered[top_c]                     # [B,P,C,D]
+            cos = jnp.einsum("bpcd,bd->bpc", blocks.astype(jnp.float32), qn)
 
-    ts = state.cluster_ts[top_c]
-    gdecay = state.cluster_decay[top_c]
-    strength = jnp.exp(state.decay_accum - gdecay)
-    ages = (state.step - ts) * config.seconds_per_step
-    temporal = jnp.exp(-jnp.maximum(ages, 0.0) / config.temporal_tau)
-    if query_locations is not None:
-        locs = state.cluster_loc[top_c]                         # [B,P,C,S]
-        d = jnp.sqrt(jnp.sum(
-            (locs - query_locations[:, None, None, :]) ** 2, axis=-1)
-            + 1e-12)
-        spatial = 1.0 / (1.0 + d)
-    else:
-        spatial = jnp.zeros_like(cos)
-    combined = (config.w_cosine * cos + config.w_spatial * spatial
-                + config.w_temporal * temporal) * strength
+        ts = state.cluster_ts[top_c]
+        gdecay = state.cluster_decay[top_c]
+        strength = jnp.exp(state.decay_accum - gdecay)
+        ages = (state.step - ts) * config.seconds_per_step
+        temporal = jnp.exp(-jnp.maximum(ages, 0.0) / config.temporal_tau)
+        if query_locations is not None:
+            locs = state.cluster_loc[top_c]                     # [B,P,C,S]
+            d = jnp.sqrt(jnp.sum(
+                (locs - query_locations[:, None, None, :]) ** 2, axis=-1)
+                + 1e-12)
+            spatial = 1.0 / (1.0 + d)
+        else:
+            spatial = jnp.zeros_like(cos)
+        combined = (config.w_cosine * cos + config.w_spatial * spatial
+                    + config.w_temporal * temporal) * strength
 
-    combined = combined.reshape(B, -1)
-    slots = slots.reshape(B, -1)
-    valid = valid.reshape(B, -1)
-    combined = jnp.where(valid, combined, NEG_INF)
+        combined = combined.reshape(B, -1)
+        slots = slots.reshape(B, -1)
+        valid = valid.reshape(B, -1)
+        combined = jnp.where(valid, combined, NEG_INF)
 
     # Coarse top-k' on bf16 scores, then exact f32 rerank from the bank
     # (standard IVF+rerank: the bf16 clustered scan is bandwidth-optimal but
     # cannot resolve near-tie cosines; the rerank restores exactness on the
     # survivors at negligible cost).
-    kk = min(max(config.rerank_candidates, 4 * k), combined.shape[-1])
-    # the IVF candidate row is narrow (probe×capacity); the hardware
-    # top-k's recall slack binds here — use the configured high target
-    _, pick = jax.lax.approx_max_k(
-        combined, kk, recall_target=config.ivf_funnel_recall)
-    cand_slots = jnp.take_along_axis(slots, pick, axis=1)
-    cand_valid = jnp.take_along_axis(valid, pick, axis=1)
+    if combined.shape[-1] <= kk:
+        cand_slots, cand_valid = slots, valid
+    elif combined.shape[-1] <= 4096:
+        # narrow row (v2 per-probe funnel): exact top-k is cheap
+        _, pick = jax.lax.top_k(combined, kk)
+        cand_slots = jnp.take_along_axis(slots, pick, axis=1)
+        cand_valid = jnp.take_along_axis(valid, pick, axis=1)
+    else:
+        # the IVF candidate row is wide (probe×capacity); the hardware
+        # top-k's recall slack binds here — use the configured high target
+        _, pick = jax.lax.approx_max_k(
+            combined, kk, recall_target=config.ivf_funnel_recall)
+        cand_slots = jnp.take_along_axis(slots, pick, axis=1)
+        cand_valid = jnp.take_along_axis(valid, pick, axis=1)
 
     cand_feats = state.features[cand_slots]                      # [B, k', D]
     # HIGHEST precision: default matmul precision is bf16 on TPU (and on this

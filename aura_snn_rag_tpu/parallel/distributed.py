@@ -87,6 +87,34 @@ def global_mesh(n_model: int = 1,
     return Mesh(arr, axis_names)
 
 
+def multislice_mesh(n_slices: int, n_model: int = 1,
+                    axis_names: Tuple[str, str, str] = ("replica", "data",
+                                                        "model"),
+                    devices=None) -> Mesh:
+    """('replica','data','model') mesh for multi-slice (DCN×ICI) jobs.
+
+    'replica' spans slices — collectives over it ride DCN; 'data'/'model'
+    stay within a slice (ICI). On real multi-slice TPU the grouping uses
+    each device's slice_index; elsewhere (CPU tests, single slice) devices
+    are grouped by (process_index, id) so the axis layout is still
+    DCN-outermost. Designed for: gradient psum over ('replica','data'),
+    TP over 'model', and the hierarchical sharded memory bank over
+    ('replica','data') (memory.sharded).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % (n_slices * n_model) == 0, (
+        f"{n} devices not divisible by {n_slices} slices x model={n_model}")
+    if all(getattr(d, "slice_index", None) is not None for d in devices):
+        devices = sorted(devices, key=lambda d: (d.slice_index,
+                                                 d.process_index, d.id))
+    else:
+        devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    arr = np.asarray(devices).reshape(
+        n_slices, n // (n_slices * n_model), n_model)
+    return Mesh(arr, axis_names)
+
+
 def local_batch_slice(global_batch: int) -> slice:
     """Each process loads its own slice of the global batch."""
     pc, pi = jax.process_count(), jax.process_index()
