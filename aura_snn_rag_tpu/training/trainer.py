@@ -45,11 +45,12 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def _sharded_retrieve_adapter(mesh, memory_config, memory_state,
+def _sharded_retrieve_adapter(mesh, axis, memory_config, memory_state,
                               queries, k):
     """retrieve_fn adapter for the shard_map sharded-bank path."""
     from aura_snn_rag_tpu.memory.sharded import retrieve_sharded
-    return retrieve_sharded(memory_config, mesh, memory_state, queries, k)
+    return retrieve_sharded(memory_config, mesh, memory_state, queries, k,
+                            axis=axis)
 
 
 class ReplayBuffer:
@@ -170,6 +171,7 @@ class Trainer:
 
         self.mesh = None
         self._memory_mesh = None
+        self._batch_axes = ("data",)
         self.replay = ReplayBuffer(tcfg.replay_buffer_size)
         self.ewc = EWCConsolidator(tcfg.ewc_lambda)
         # observability spine (SURVEY §5.1): stats + event hooks
@@ -199,9 +201,17 @@ class Trainer:
         shard, and RAG retrieval merges per-shard top-k over ICI via the
         model's injectable `retrieve_fn`. An existing single-shard bank is
         not migrated — re-ingest after sharding.
+
+        Multi-slice meshes (parallel.distributed.multislice_mesh) work
+        transparently: every non-'model' axis becomes a batch/bank axis,
+        so on a ('replica','data','model') mesh batches and the bank shard
+        over replica×data and retrieval merges hierarchically (ICI first,
+        DCN sees only the per-slice survivors).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
         from aura_snn_rag_tpu.parallel.mesh import shard_params
+
+        self._batch_axes = tuple(a for a in mesh.axis_names if a != "model")
 
         params = shard_params(self.state.params, mesh)
         opt_state = self.tx.init(params)  # zeros_like inherits shardings
@@ -220,10 +230,10 @@ class Trainer:
             from aura_snn_rag_tpu.memory.sharded import (
                 init_sharded_memory, retrieve_sharded)
             self.hippocampus.state = init_sharded_memory(
-                self.config.memory, mesh)
+                self.config.memory, mesh, axis=self._batch_axes)
             self._memory_mesh = mesh
             retrieve_fn = functools.partial(
-                _sharded_retrieve_adapter, mesh)
+                _sharded_retrieve_adapter, mesh, self._batch_axes)
             self.model = self.model.clone(retrieve_fn=retrieve_fn)
             self.eval_model = self.eval_model.clone(
                 retrieve_fn=retrieve_fn)
@@ -238,8 +248,10 @@ class Trainer:
         if self.mesh is None:
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return jax.device_put(jnp.asarray(x),
-                              NamedSharding(self.mesh, P("data")))
+        return jax.device_put(
+            jnp.asarray(x),
+            NamedSharding(self.mesh, P(getattr(self, "_batch_axes",
+                                               ("data",)))))
 
     # ------------------------------------------------------------------
     # jitted step builders
@@ -407,7 +419,8 @@ class Trainer:
                         from aura_snn_rag_tpu.memory.sharded import (
                             write_memories_sharded)
                         return write_memories_sharded(
-                            mcfg, memory_mesh, ms, memory_summary, locs)
+                            mcfg, memory_mesh, ms, memory_summary, locs,
+                            axis=getattr(self, "_batch_axes", ("data",)))
                     return memory_engine.write_memories(
                         mcfg, ms, memory_summary, locs)
 
