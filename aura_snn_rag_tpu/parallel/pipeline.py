@@ -38,41 +38,48 @@ def stack_stage_params(per_stage_params, mesh: Mesh, axis: str = "stage"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
 
 
-def pipeline_apply(block_fn: Callable[[Any, jax.Array], jax.Array],
-                   stage_params, microbatches: jax.Array, mesh: Mesh,
-                   axis: str = "stage") -> jax.Array:
-    """Run `microbatches` [M, mb, ...] through S pipelined stages.
+def pipeline_apply(block_fn: Callable[[Any, Any], Any],
+                   stage_params, microbatches, mesh: Mesh,
+                   axis: str = "stage"):
+    """Run `microbatches` (array or pytree, leaves [M, mb, ...]) through S
+    pipelined stages.
 
-    block_fn(params_for_one_stage, x[mb, ...]) -> y[mb, ...] must be
-    shape-preserving between stages (the usual transformer-layer contract).
-    Returns the last stage's outputs [M, mb, ...], replicated over `axis`.
-    Differentiable: take `jax.grad` through this of a loss on the output;
-    grads of `stage_params` come back sharded over `axis`.
+    block_fn(params_for_one_stage, x) -> y must be shape-preserving between
+    stages (the usual transformer-layer contract); x/y may be pytrees (e.g.
+    (hidden, prosody) with prosody passed through unchanged).
+    Returns the last stage's outputs (leaves [M, mb, ...]), replicated over
+    `axis`. Differentiable: take `jax.grad` through this of a loss on the
+    output; grads of `stage_params` come back sharded over `axis`.
     """
     S = mesh.shape[axis]
-    M = microbatches.shape[0]
+    M = jax.tree.leaves(microbatches)[0].shape[0]
     T = M + S - 1
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def local(params, xs):
         params = jax.tree.map(lambda p: p[0], params)    # [1,...] -> [...]
-        xs = xs                                          # replicated [M,...]
         sid = jax.lax.axis_index(axis)
-        zero = jnp.zeros(xs.shape[1:], xs.dtype)
+        zero = jax.tree.map(
+            lambda x: jnp.zeros(x.shape[1:], x.dtype), xs)
 
         def step(inflow, t):
-            x_first = xs[jnp.clip(t, 0, M - 1)]
-            x = jnp.where(sid == 0, x_first, inflow)
+            idx = jnp.clip(t, 0, M - 1)
+            x_first = jax.tree.map(lambda x: x[idx], xs)
+            x = jax.tree.map(
+                lambda a, b: jnp.where(sid == 0, a, b), x_first, inflow)
             y = block_fn(params, x)
             # ring hop to the next stage; during fill/drain the payload is
             # a don't-care (never read by the output collection below)
-            return jax.lax.ppermute(y, axis, perm), y
+            hop = jax.tree.map(
+                lambda v: jax.lax.ppermute(v, axis, perm), y)
+            return hop, y
 
         _, ys = jax.lax.scan(step, zero, jnp.arange(T))
         # last stage's outputs at steps S-1..T-1 are microbatches 0..M-1
-        valid = ys[S - 1:]                               # [M, mb, ...]
-        gathered = jax.lax.all_gather(valid, axis)       # [S, M, mb, ...]
-        return gathered[S - 1]
+        valid = jax.tree.map(lambda v: v[S - 1:], ys)    # [M, mb, ...]
+        gathered = jax.tree.map(
+            lambda v: jax.lax.all_gather(v, axis), valid)
+        return jax.tree.map(lambda v: v[S - 1], gathered)
 
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P(axis), P()), out_specs=P(),
