@@ -78,6 +78,13 @@ def sample_token(rng: jax.Array, logits: jax.Array,
     `temperature` and `top_p` may be Python floats (static) or traced arrays
     broadcastable to the batch dims ([B] per-request values in serving).
     `top_k` is structural (changes the lax.top_k shape) and stays static.
+
+    When top_k > 0 the whole filter chain runs in the top-k subspace: one
+    `lax.top_k` (already sorted) replaces the full-vocab nucleus SORT, the
+    [..., V] NEG_INF scatter, and the [..., V] categorical — the dominant
+    per-token cost of the decode scan at 32k vocab. Distribution-identical
+    to filtering in vocab space (top-p after top-k only ever keeps top-k
+    entries; softmax is shift/subset invariant on the survivors).
     """
     logits = logits.astype(jnp.float32)
     if token_counts is not None and repetition_penalty != 1.0:
@@ -89,7 +96,22 @@ def sample_token(rng: jax.Array, logits: jax.Array,
     else:
         t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
         logits = logits / (t[..., None] if t.ndim else t)
-    logits = top_k_filter(logits, top_k)
+
+    if top_k > 0:
+        vals, idx = jax.lax.top_k(logits, top_k)    # sorted descending
+        static_p = isinstance(top_p, (int, float))
+        if not (static_p and top_p >= 1.0):
+            p = jnp.asarray(top_p, jnp.float32)
+            if p.ndim:
+                p = p[..., None]
+            probs = jax.nn.softmax(vals, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = (cum - probs) <= p               # always keeps top-1
+            vals = jnp.where(keep, vals, NEG_INF)
+        choice = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[..., None],
+                                   axis=-1)[..., 0]
+
     logits = top_p_filter(logits, top_p)
     return jax.random.categorical(rng, logits, axis=-1)
 

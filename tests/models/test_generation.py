@@ -65,3 +65,43 @@ class TestGenerate:
         zeros = np.where(gen == 0)[0]
         if len(zeros):
             assert (gen[zeros[0]:] == 0).all()
+
+
+class TestFusedTopKTopP:
+    """The fused top-k/top-p sampling path must induce exactly the same
+    distribution as composing the full-vocab filters."""
+
+    def test_distribution_matches_filter_composition(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from aura_snn_rag_tpu.generation.sampler import (
+            NEG_INF, top_k_filter, top_p_filter)
+
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(3, 101).astype(np.float32) * 3)
+        k, p = 17, 0.8
+        ref = top_p_filter(top_k_filter(logits, k), p)
+        ref_probs = np.asarray(jax.nn.softmax(ref, axis=-1))
+
+        # reproduce the fused path's kept set/probabilities
+        vals, idx = jax.lax.top_k(logits, k)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        vals = jnp.where((cum - probs) <= p, vals, NEG_INF)
+        fused = np.zeros_like(ref_probs)
+        fp = np.asarray(jax.nn.softmax(vals, axis=-1))
+        np.put_along_axis(fused, np.asarray(idx), fp, axis=-1)
+        np.testing.assert_allclose(fused, ref_probs, atol=1e-6)
+
+    def test_greedy_topk1_deterministic(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from aura_snn_rag_tpu.generation.sampler import sample_token
+
+        logits = jnp.asarray(np.random.RandomState(1).randn(4, 64),
+                             jnp.float32)
+        tok = sample_token(jax.random.PRNGKey(0), logits, top_k=1)
+        np.testing.assert_array_equal(np.asarray(tok),
+                                      np.asarray(logits.argmax(-1)))
