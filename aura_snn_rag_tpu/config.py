@@ -65,6 +65,13 @@ class MemoryConfig:
     spill_rounds: int = 3
     # fused Pallas gather+score kernel for the IVF path (TPU backends only)
     use_pallas_ivf: bool = True
+    # Coarse-scan precision for the FLAT path's bank copy: "bf16" (default)
+    # or "int8" (symmetric 127-scale quantization of the L2-normalized
+    # rows). The flat scan is HBM-bandwidth-bound at 1M vectors, so int8
+    # halves the bank read AND doubles the MXU rate; the ~0.3% quantized
+    # score error is absorbed by the exact f32 rerank funnel exactly like
+    # bf16's rounding is. The IVF clustered store stays bf16.
+    coarse_dtype: str = "bf16"
 
     @property
     def bucket_capacity(self) -> int:

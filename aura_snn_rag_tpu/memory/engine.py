@@ -56,6 +56,30 @@ def _l2norm(x, axis=-1, eps=1e-12):
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
 
 
+def _to_coarse(x_norm, dtype):
+    """Cast an L2-normalized row block to the coarse-scan storage dtype.
+
+    int8 uses symmetric 127-scale quantization (values in [-1, 1] by
+    construction); anything else is a plain cast (bf16 path)."""
+    if dtype == jnp.int8:
+        return jnp.clip(jnp.round(x_norm * 127.0), -127, 127).astype(dtype)
+    return x_norm.astype(dtype)
+
+
+def _coarse_cos(bank_coarse, qn):
+    """[M, D?] coarse bank × [B, D] f32 normalized queries → cosine [B, M].
+
+    int8 banks run the int8×int8 MXU path (2× rate, half the HBM read of
+    bf16) and rescale by 1/127² afterwards."""
+    if bank_coarse.dtype == jnp.int8:
+        q8 = _to_coarse(qn, jnp.int8)
+        acc = jnp.einsum("md,bd->bm", bank_coarse, q8,
+                         preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    return jnp.einsum("md,bd->bm", bank_coarse,
+                      qn.astype(bank_coarse.dtype)).astype(jnp.float32)
+
+
 # NOTE on top-k strategy (measured on TPU v5e via axon): exact
 # `lax.top_k` over a [32, 1M] row costs ~20 ms (sort-bound); a block-local
 # two-stage exact variant is no better; `jax.lax.approx_max_k` (the TPU
@@ -120,7 +144,8 @@ def write_memories(config: MemoryConfig, state: MemoryState,
 
         return st._replace(
             features=st.features.at[idx].set(f),
-            features_nb16=st.features_nb16.at[idx].set(fn),
+            features_nb16=st.features_nb16.at[idx].set(
+                _to_coarse(_l2norm(f), st.features_nb16.dtype)),
             locations=st.locations.at[idx].set(loc),
             strength=st.strength.at[idx].set(1.0),
             timestamp=st.timestamp.at[idx].set(st.step),
@@ -156,7 +181,8 @@ def bulk_load(config: MemoryConfig, state: MemoryState,
     return state._replace(
         features=state.features.at[:N].set(features.astype(f32)),
         features_nb16=state.features_nb16.at[:N].set(
-            _l2norm(features.astype(f32)).astype(state.features_nb16.dtype)),
+            _to_coarse(_l2norm(features.astype(f32)),
+                       state.features_nb16.dtype)),
         locations=state.locations.at[:N].set(locations.astype(f32)),
         strength=state.strength.at[:N].set(1.0),
         timestamp=state.timestamp.at[:N].set(state.step),
@@ -373,9 +399,7 @@ def retrieve_flat(config: MemoryConfig, state: MemoryState,
     """
     M = state.max_memories
     qn = _l2norm(queries)                                        # [B, D]
-    cos = jnp.einsum("md,bd->bm", state.features_nb16,
-                     qn.astype(state.features_nb16.dtype)
-                     ).astype(jnp.float32)                       # [B, M]
+    cos = _coarse_cos(state.features_nb16, qn)                   # [B, M]
 
     # streaming [M] metadata (no scatter/gather)
     ages = (state.step - state.timestamp) * config.seconds_per_step

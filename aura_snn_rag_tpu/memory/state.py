@@ -87,9 +87,14 @@ def init_memory_state(config: MemoryConfig, dtype=jnp.float32,
                       clustered_dtype=jnp.bfloat16) -> MemoryState:
     M, D, S = config.max_memories, config.feature_dim, config.spatial_dims
     K, C = config.k_centroids, config.bucket_capacity
+    # flat-scan bank copy: bf16, or int8 (127-scaled) when
+    # config.coarse_dtype == "int8" — field name kept for checkpoint
+    # structure stability
+    coarse_dtype = (jnp.int8 if config.coarse_dtype == "int8"
+                    else clustered_dtype)
     return MemoryState(
         features=jnp.zeros((M, D), dtype),
-        features_nb16=jnp.zeros((M, D), clustered_dtype),
+        features_nb16=jnp.zeros((M, D), coarse_dtype),
         locations=jnp.zeros((M, S), dtype),
         strength=jnp.zeros((M,), dtype),
         timestamp=jnp.zeros((M,), dtype),

@@ -26,6 +26,10 @@ import numpy as np
 
 # knobs (overridable for smoke runs: python bench.py --small)
 SMALL = "--small" in sys.argv
+# coarse flat-scan precision: int8 halves the bandwidth-bound bank read
+# (same exact f32 rerank); opt in with --int8 (flip the default only after
+# on-chip validation at full scale)
+COARSE_DTYPE = "int8" if "--int8" in sys.argv else "bf16"
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -66,6 +70,7 @@ def tpu_bench(feats, queries):
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0,
                        rebuild_lloyd_iters=LLOYD_ITERS,
+                       coarse_dtype=COARSE_DTYPE,
                        n_place_cells=16, n_grid_cells=8, n_time_cells=4)
     state = init_memory_state(cfg)
     f = jnp.asarray(feats)
@@ -218,6 +223,7 @@ def main():
         "index_build_cold_s": round(build_cold_s, 3),
         "baseline_build_s": round(ref_build_s, 3),
         "n_vectors": N,
+        "coarse_dtype": COARSE_DTYPE,
     }))
 
 

@@ -1,0 +1,58 @@
+"""int8 coarse flat-scan path: quantized bank read + exact f32 rerank.
+
+The int8 coarse scores are ~0.3%-noisy; the rerank funnel must absorb that
+so final top-k matches the bf16 path's (both rerank in exact f32)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aura_snn_rag_tpu.config import MemoryConfig
+from aura_snn_rag_tpu.memory import init_memory_state, retrieve_flat
+from aura_snn_rag_tpu.memory.engine import bulk_load, write_memories
+
+
+def _cfg(**kw):
+    return MemoryConfig(max_memories=2048, feature_dim=64, k_centroids=16,
+                        probe_centroids=4, retrieve_k=5, n_place_cells=8,
+                        n_grid_cells=4, n_time_cells=2, **kw)
+
+
+def test_int8_flat_matches_bf16_topk():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2048, 64).astype(np.float32)
+    q = jnp.asarray(feats[:8] + 0.1 * rng.randn(8, 64).astype(np.float32))
+
+    results = {}
+    for dt in ("bf16", "int8"):
+        cfg = _cfg(coarse_dtype=dt)
+        st = init_memory_state(cfg)
+        assert st.features_nb16.dtype == (jnp.int8 if dt == "int8"
+                                          else jnp.bfloat16)
+        st = bulk_load(cfg, st, jnp.asarray(feats),
+                       jnp.zeros((2048, 2), np.float32))
+        results[dt] = retrieve_flat(cfg, st, q, None, 5)
+
+    np.testing.assert_array_equal(np.asarray(results["int8"].indices),
+                                  np.asarray(results["bf16"].indices))
+    np.testing.assert_allclose(np.asarray(results["int8"].scores),
+                               np.asarray(results["bf16"].scores),
+                               rtol=1e-5)
+
+
+def test_int8_write_path_roundtrip():
+    cfg = _cfg(coarse_dtype="int8")
+    st = init_memory_state(cfg)
+    rng = np.random.RandomState(1)
+    f = jnp.asarray(rng.randn(16, 64).astype(np.float32))
+    st = write_memories(cfg, st, f, jnp.zeros((16, 2)))
+    # quantized rows reconstruct the normalized vectors to ~1/127
+    fn = np.asarray(f) / np.linalg.norm(np.asarray(f), axis=1, keepdims=True)
+    got = np.asarray(st.features_nb16[:16], np.float32) / 127.0
+    assert np.abs(got - fn).max() < (0.5 / 127) * 1.01
+    # and self-retrieval works through the quantized coarse scan
+    res = retrieve_flat(cfg, st, f[:4], None, 3)
+    np.testing.assert_array_equal(np.asarray(res.indices)[:, 0],
+                                  np.arange(4))
