@@ -98,3 +98,49 @@ class TestShardedBankCheckpoint:
             np.asarray(tr2.hippocampus.state.features), want_feats)
         np.testing.assert_array_equal(
             np.asarray(tr2.hippocampus.state.count), want_count)
+
+    def test_multislice_bank_roundtrip(self, tmp_path):
+        """Same cycle on a ('replica','data','model') multislice mesh:
+        the bank shards over replica x data (4 shards of 2 rows each)."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from aura_snn_rag_tpu.config import get_debug_config
+        from aura_snn_rag_tpu.memory.sharded import write_memories_sharded
+        from aura_snn_rag_tpu.parallel.distributed import multislice_mesh
+        from aura_snn_rag_tpu.training.checkpoint import CheckpointManager
+        from aura_snn_rag_tpu.training.trainer import Trainer
+
+        cfg = get_debug_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, use_rag=True),
+            training=dataclasses.replace(
+                cfg.training, enable_thalamus=False,
+                enable_amygdala=False))
+        mesh = multislice_mesh(n_slices=2, n_model=2)
+
+        tr = Trainer(cfg, seed=0)
+        tr.shard_to_mesh(mesh, shard_memory=True)
+        assert tr._batch_axes == ("replica", "data")
+        rng = np.random.RandomState(0)
+        feats = rng.randn(8, cfg.memory.feature_dim).astype(np.float32)
+        tr.hippocampus.state = write_memories_sharded(
+            cfg.memory, mesh, tr.hippocampus.state,
+            jnp.asarray(feats), jnp.zeros((8, cfg.memory.spatial_dims)),
+            axis=("replica", "data"))
+        want_feats = np.asarray(tr.hippocampus.state.features)
+        want_count = np.asarray(tr.hippocampus.state.count)
+        assert want_count.shape == (4,) and (want_count == 2).all()
+
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        ckpt.save(5, tr, loss=1.0)
+
+        tr2 = Trainer(cfg, seed=1)
+        tr2.shard_to_mesh(mesh, shard_memory=True)
+        step = ckpt.restore(tr2)
+        assert step == 5
+        np.testing.assert_array_equal(
+            np.asarray(tr2.hippocampus.state.features), want_feats)
+        np.testing.assert_array_equal(
+            np.asarray(tr2.hippocampus.state.count), want_count)
