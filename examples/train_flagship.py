@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--seq-len", type=int, default=0,
                     help="override preset max_seq_len")
     ap.add_argument("--grad-checkpoint", action="store_true")
+    ap.add_argument("--mu-dtype", default="",
+                    help="AdamW first-moment dtype override (e.g. bfloat16 "
+                         "frees ~0.9 GB for B=32 on one v5e chip)")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +79,8 @@ def main():
                     enable_thalamus=False)
     if args.batch:
         train_kw["batch_size"] = args.batch
+    if args.mu_dtype:
+        train_kw["optimizer_mu_dtype"] = args.mu_dtype
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, **model_kw),
         training=dataclasses.replace(cfg.training, **train_kw))
