@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--k", type=int, default=4096)
     ap.add_argument("--probe", type=int, default=64)
     ap.add_argument("--batches", default="1,8,32,128")
+    ap.add_argument("--coarse", default="bf16",
+                    help="comma list of flat-scan coarse dtypes to warm "
+                         "(bf16,int8)")
     args = ap.parse_args()
 
     import jax
@@ -33,34 +36,39 @@ def main():
         init_memory_state, rebuild_centroids, retrieve, retrieve_flat)
     from aura_snn_rag_tpu.memory.engine import bulk_load, write_memories
 
-    cfg = MemoryConfig(max_memories=args.n, feature_dim=args.d,
-                       k_centroids=args.k, probe_centroids=args.probe,
-                       bucket_overprovision=2.0, rebuild_lloyd_iters=2,
-                       n_place_cells=16, n_grid_cells=8, n_time_cells=4)
     rng = np.random.RandomState(0)
     feats = rng.randn(args.n, args.d).astype(np.float32)
 
-    t0 = time.time()
-    state = init_memory_state(cfg)
-    state = bulk_load(cfg, state, jnp.asarray(feats),
-                      jnp.zeros((args.n, 2), np.float32))
-    state = rebuild_centroids(cfg, state, jax.random.PRNGKey(0))
-    np.asarray(state.centroid_counts)
-    print(f"rebuild warmed in {time.time()-t0:.1f}s", flush=True)
+    for coarse in args.coarse.split(","):
+        coarse = {"bf16": "bf16", "int8": "int8"}[coarse.strip()]
+        cfg = MemoryConfig(max_memories=args.n, feature_dim=args.d,
+                           k_centroids=args.k, probe_centroids=args.probe,
+                           bucket_overprovision=2.0, rebuild_lloyd_iters=2,
+                           coarse_dtype=coarse,
+                           n_place_cells=16, n_grid_cells=8, n_time_cells=4)
 
-    state = write_memories(cfg, state,
-                           jnp.asarray(feats[:8]), jnp.zeros((8, 2)))
-    np.asarray(state.count)
-    print("write warmed", flush=True)
+        t0 = time.time()
+        state = init_memory_state(cfg)
+        state = bulk_load(cfg, state, jnp.asarray(feats),
+                          jnp.zeros((args.n, 2), np.float32))
+        state = rebuild_centroids(cfg, state, jax.random.PRNGKey(0))
+        np.asarray(state.centroid_counts)
+        print(f"[{coarse}] rebuild warmed in {time.time()-t0:.1f}s",
+              flush=True)
 
-    for B in [int(b) for b in args.batches.split(",")]:
-        q = jnp.asarray(feats[:B])
-        for name, fn in (("ivf", retrieve), ("flat", retrieve_flat)):
-            t0 = time.time()
-            res = fn(cfg, state, q, None, 10)
-            np.asarray(res.indices)
-            print(f"{name} B={B} warmed in {time.time()-t0:.1f}s",
-                  flush=True)
+        state = write_memories(cfg, state,
+                               jnp.asarray(feats[:8]), jnp.zeros((8, 2)))
+        np.asarray(state.count)
+        print(f"[{coarse}] write warmed", flush=True)
+
+        for B in [int(b) for b in args.batches.split(",")]:
+            q = jnp.asarray(feats[:B])
+            for name, fn in (("ivf", retrieve), ("flat", retrieve_flat)):
+                t0 = time.time()
+                res = fn(cfg, state, q, None, 10)
+                np.asarray(res.indices)
+                print(f"[{coarse}] {name} B={B} warmed in "
+                      f"{time.time()-t0:.1f}s", flush=True)
     print("cache warm", flush=True)
 
 
