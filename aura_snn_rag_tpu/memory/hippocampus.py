@@ -52,6 +52,9 @@ class HippocampalFormation:
         self.current_location = np.zeros(config.spatial_dims, np.float32)
         self._writes_since_rebuild = 0
         self._last_event_step = 0.0
+        # fused-kernel metadata sidecar, cached per state identity: every
+        # mutation replaces self.state, so identity tracks staleness exactly
+        self._aux_cache: Optional[Tuple[Any, Any]] = None
 
     # ------------------------------------------------------------------
     # properties mirroring the reference's attributes
@@ -158,9 +161,20 @@ class HippocampalFormation:
         """Batched retrieval returning device tensors (model fast path)."""
         use_index = (self.use_centroid_index and self.index_ready
                      and self.memory_count > self.config.k_centroids)
-        fn = engine.retrieve if use_index else engine.retrieve_bruteforce
-        return fn(self.config, self.state, jnp.asarray(queries),
-                  query_locations, k)
+        if not use_index:
+            return engine.retrieve_bruteforce(
+                self.config, self.state, jnp.asarray(queries),
+                query_locations, k)
+        aux = None
+        if (self.config.use_pallas_ivf and engine._ivf_kernel_ok()
+                and query_locations is None):
+            if (self._aux_cache is None
+                    or self._aux_cache[0] is not self.state):
+                self._aux_cache = (
+                    self.state, engine.build_ivf_aux(self.config, self.state))
+            aux = self._aux_cache[1]
+        return engine.retrieve(self.config, self.state, jnp.asarray(queries),
+                               query_locations, k, aux=aux)
 
     # ------------------------------------------------------------------
     # maintenance

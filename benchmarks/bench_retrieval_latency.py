@@ -76,10 +76,20 @@ def main():
                         set(int(x) for x in exact[i]))
         return hits / (len(idx) * TOPK)
 
+    # the metadata sidecar is a pure function of bank state — serving
+    # builds it once per mutation (HippocampalFormation.retrieve_batch
+    # caches it), so queries are benched with it precomputed
+    from aura_snn_rag_tpu.memory.engine import build_ivf_aux
+    aux = build_ivf_aux(cfg, state)
+    np.asarray(aux[0, 0, :1])                             # fence
+
+    def ivf(c, s, q, loc, kk):
+        return retrieve(c, s, q, loc, kk, aux=aux)
+
     out = {"metric": "retrieval latency IVF vs flat", "n_vectors": N}
     for B in [int(b) for b in args.batches.split(",")]:
         qb = jnp.asarray(queries[:B])
-        for name, fn in (("ivf", retrieve), ("flat", retrieve_flat)):
+        for name, fn in (("ivf", ivf), ("flat", retrieve_flat)):
             res = fn(cfg, state, qb, None, TOPK)          # compile+warm
             np.asarray(res.indices)
             # single-dispatch wall latency (includes the tunnel roundtrip

@@ -133,3 +133,46 @@ def test_retrieve_v2_partial_bank(monkeypatch):
     assert ((idx >= -1) & (idx < used)).all()
     # self-retrieval: the query's own row must rank first
     assert (idx[:, 0] == np.arange(4)).all()
+
+
+def test_retrieve_precomputed_aux_identical(monkeypatch):
+    """retrieve(aux=build_ivf_aux(...)) must equal retrieve() exactly, and
+    the wrapper's per-state aux cache must invalidate on mutation."""
+    monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
+    from aura_snn_rag_tpu.memory.engine import build_ivf_aux, decay_memories
+    from aura_snn_rag_tpu.memory.hippocampus import HippocampalFormation
+
+    rng = np.random.RandomState(4)
+    N = 2048
+    cfg = _mk_cfg(N)
+    feats = rng.randn(N, 64).astype(np.float32)
+    state = init_memory_state(cfg)
+    state = bulk_load(cfg, state, jnp.asarray(feats),
+                      jnp.zeros((N, 2), np.float32))
+    state = rebuild_centroids(cfg, state, jax.random.PRNGKey(0))
+
+    q = jnp.asarray(feats[:5] + 0.05 * rng.randn(5, 64).astype(np.float32))
+    aux = build_ivf_aux(cfg, state)
+    r_inline = retrieve(cfg, state, q, None, 5)
+    r_pre = retrieve(cfg, state, q, None, 5, aux=aux)
+    np.testing.assert_array_equal(np.asarray(r_inline.indices),
+                                  np.asarray(r_pre.indices))
+    np.testing.assert_allclose(np.asarray(r_inline.scores),
+                               np.asarray(r_pre.scores), rtol=0, atol=0)
+
+    # wrapper cache: builds once, reuses for same state, rebuilds on decay
+    h = HippocampalFormation(cfg)
+    h.state, h.use_centroid_index = state, True
+    h.retrieve_batch(q, k=5)
+    first = h._aux_cache
+    assert first is not None and first[0] is h.state
+    h.retrieve_batch(q, k=5)
+    assert h._aux_cache is first                    # cache hit (same state)
+    h.decay_memories(0.3)                           # mutation → stale
+    r_after = h.retrieve_batch(q, k=5)
+    assert h._aux_cache is not first
+    assert h._aux_cache[0] is h.state
+    # decayed-state retrieval through the cache equals the direct engine call
+    r_direct = retrieve(cfg, h.state, q, None, 5)
+    np.testing.assert_array_equal(np.asarray(r_after.indices),
+                                  np.asarray(r_direct.indices))
