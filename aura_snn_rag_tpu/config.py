@@ -65,6 +65,10 @@ class MemoryConfig:
     spill_rounds: int = 3
     # fused Pallas gather+score kernel for the IVF path (TPU backends only)
     use_pallas_ivf: bool = True
+    # IVF kernel generation: "v2" = per-probe in-kernel top-k + XLA funnel,
+    # "v3" = cross-probe exact top-kk finished in-kernel (one output row per
+    # query, no XLA funnel dispatch). Both feed the same exact f32 rerank.
+    ivf_kernel: str = "v3"
     # Coarse-scan precision for the FLAT path's bank copy: "bf16" (default)
     # or "int8" (symmetric 127-scale quantization of the L2-normalized
     # rows). The flat scan is HBM-bandwidth-bound at 1M vectors, so int8

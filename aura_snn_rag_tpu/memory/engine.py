@@ -290,15 +290,25 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
         # top-k over all probed candidates, so this funnel has no
         # approx_max_k recall slack and no [B, P, C] intermediates.
         from aura_snn_rag_tpu.ops.pallas.ivf_scan import (
-            default_interpret, ivf_topk_scores)
+            KPAD, default_interpret, ivf_candidates, ivf_topk_scores)
         if aux is None:
             aux = build_ivf_aux(config, state)
-        per_k = min(max(k, -(-kk // P)), state.bucket_capacity)
-        sc, sl = ivf_topk_scores(state.clustered, aux, qn, top_c, per_k,
-                                 interpret=default_interpret())
-        combined = sc[:, :, :per_k].reshape(B, -1)
-        slots = jnp.maximum(sl[:, :, :per_k], 0).reshape(B, -1)
-        valid = combined > NEG_INF / 2
+        C = state.bucket_capacity
+        if config.ivf_kernel == "v3" and P * C >= KPAD:
+            # v3: the kernel itself emits the global top-kk candidates
+            # (sorted, exact over all probed entries) — no XLA funnel.
+            kk = -(-kk // KPAD) * KPAD                 # lane-aligned
+            combined, sl = ivf_candidates(state.clustered, aux, qn, top_c,
+                                          kk, interpret=default_interpret())
+            slots = jnp.maximum(sl, 0)
+            valid = combined > NEG_INF / 2
+        else:
+            per_k = min(max(k, -(-kk // P)), state.bucket_capacity)
+            sc, sl = ivf_topk_scores(state.clustered, aux, qn, top_c, per_k,
+                                     interpret=default_interpret())
+            combined = sc[:, :, :per_k].reshape(B, -1)
+            slots = jnp.maximum(sl[:, :, :per_k], 0).reshape(B, -1)
+            valid = combined > NEG_INF / 2
     else:
         if config.use_pallas_ivf and _ivf_kernel_ok():
             # fused gather+dot kernel: one HBM pass over the probed blocks

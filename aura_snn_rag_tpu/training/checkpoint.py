@@ -82,6 +82,14 @@ class CheckpointManager:
         template = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
             template)
+        # Release the freshly-initialized device state BEFORE materializing
+        # the restored copy: otherwise params+optimizer+bank are resident
+        # twice during restore, which OOMs a full-preset trainer on one chip
+        # (and the leftover fragmentation can sink the first train step even
+        # when the restore itself survives).
+        init_opt_state = None if load_optimizer else trainer.state.opt_state
+        trainer.state = None
+        trainer.hippocampus.state = None
         restored = self.manager.restore(
             step, args=ocp.args.StandardRestore(template))
 
@@ -92,9 +100,8 @@ class CheckpointManager:
                 meta = json.load(f)
 
         from aura_snn_rag_tpu.training.trainer import TrainState
-        import jax.numpy as jnp
         opt_state = (restored["opt_state"] if load_optimizer
-                     else trainer.state.opt_state)
+                     else init_opt_state)
         trainer.state = TrainState(
             restored["params"], opt_state,
             jnp.asarray(int(restored["step"]), jnp.int32))

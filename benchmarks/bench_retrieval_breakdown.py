@@ -43,7 +43,7 @@ def main():
     from aura_snn_rag_tpu.memory.engine import (
         NEG_INF, _combined_score, _l2norm, build_ivf_aux, bulk_load)
     from aura_snn_rag_tpu.ops.pallas.ivf_scan import (
-        default_interpret, ivf_scan_scores, ivf_topk_scores)
+        default_interpret, ivf_candidates, ivf_scan_scores, ivf_topk_scores)
 
     N = 100_000 if args.small else 1_000_000
     D = 768
@@ -58,10 +58,12 @@ def main():
     queries = feats[rng.randint(0, N, 128)] + \
         0.1 * rng.randn(128, D).astype(np.float32)
 
+    import dataclasses
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0, rebuild_lloyd_iters=2,
                        n_place_cells=16, n_grid_cells=8, n_time_cells=4)
+    cfg_v2 = dataclasses.replace(cfg, ivf_kernel="v2")
     state = init_memory_state(cfg)
     state = bulk_load(cfg, state, jnp.asarray(feats),
                       jnp.zeros((N, 2), np.float32))
@@ -96,6 +98,13 @@ def main():
     def stage_kernel_v1(state, qn, top_c):
         return ivf_scan_scores(state.clustered, qn, top_c,
                                interpret=interp)
+
+    KK = -(-kk // 128) * 128
+
+    @jax.jit
+    def stage_kernel_v3(state, aux, qn, top_c):
+        return ivf_candidates(state.clustered, aux, qn, top_c, KK,
+                              interpret=interp)
 
     @functools.partial(jax.jit, static_argnums=())
     def stage_funnel(state, qn, sc, sl):
@@ -151,11 +160,18 @@ def main():
         res["kernel_v1_ms"] = timed(
             "kernel_v1", lambda: stage_kernel_v1(state, qn, top_c),
             lambda r: r[0, 0, :1])
+        res["kernel_v3_ms"] = timed(
+            "kernel_v3", lambda: stage_kernel_v3(state, aux, qn, top_c),
+            lambda r: r[0][0, :1])
         res["funnel_rerank_ms"] = timed(
             "funnel_rerank", lambda: stage_funnel(state, qn, sc, sl),
             lambda r: r[0][0, :1])
-        res["full_ms"] = timed(
-            "full", lambda: retrieve(cfg, state, qb, None, TOPK, aux=aux),
+        res["full_v3_ms"] = timed(
+            "full_v3", lambda: retrieve(cfg, state, qb, None, TOPK, aux=aux),
+            lambda r: r.indices[0, :1])
+        res["full_v2_ms"] = timed(
+            "full_v2",
+            lambda: retrieve(cfg_v2, state, qb, None, TOPK, aux=aux),
             lambda r: r.indices[0, :1])
         res["full_noaux_ms"] = timed(
             "full_noaux", lambda: retrieve(cfg, state, qb, None, TOPK),

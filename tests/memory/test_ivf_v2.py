@@ -69,7 +69,7 @@ def test_retrieve_v2_matches_xla_path(monkeypatch):
     monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
     rng = np.random.RandomState(1)
     N = 4096
-    cfg = _mk_cfg(N)                                      # pallas v2 path
+    cfg = _mk_cfg(N, ivf_kernel="v2")                     # pallas v2 path
     cfg_x = dataclasses.replace(cfg, use_pallas_ivf=False)
     feats = rng.randn(N, 64).astype(np.float32)
     state = init_memory_state(cfg)
@@ -176,3 +176,63 @@ def test_retrieve_precomputed_aux_identical(monkeypatch):
     r_direct = retrieve(cfg, h.state, q, None, 5)
     np.testing.assert_array_equal(np.asarray(r_after.indices),
                                   np.asarray(r_direct.indices))
+
+
+def test_kernel_v3_global_topkk_matches_numpy():
+    from aura_snn_rag_tpu.ops.pallas.ivf_scan import ivf_candidates
+    rng = np.random.RandomState(5)
+    K, C, D, B, P, kk = 16, 128, 64, 3, 4, 128
+    clustered = rng.randn(K, C, D).astype(np.float32)
+    clustered /= np.linalg.norm(clustered, axis=-1, keepdims=True)
+    clustered16 = jnp.asarray(clustered, jnp.bfloat16)
+    aux = np.zeros((K, 8, C), np.float32)
+    aux[:, 0] = rng.rand(K, C) + 0.5
+    aux[:, 1] = rng.randn(K, C) * 0.1
+    aux[:, 2] = rng.randint(0, 10_000, (K, C))
+    q = rng.randn(B, D).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    top_c = np.stack([rng.choice(K, P, replace=False)
+                      for _ in range(B)]).astype(np.int32)
+
+    s, sl = ivf_candidates(clustered16, jnp.asarray(aux), jnp.asarray(qn),
+                           jnp.asarray(top_c), kk, interpret=True)
+    s, sl = np.asarray(s), np.asarray(sl)
+    assert s.shape == (B, kk) and sl.shape == (B, kk)
+    # sorted descending
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+    q16 = np.asarray(jnp.asarray(qn, jnp.bfloat16).astype(jnp.float32))
+    c32 = np.asarray(clustered16.astype(jnp.float32))
+    for b in range(B):
+        comb_all, slot_all = [], []
+        for p in range(P):
+            cid = top_c[b, p]
+            cos = c32[cid] @ q16[b]
+            comb_all.append(aux[cid, 0] * cos + aux[cid, 1])
+            slot_all.append(aux[cid, 2])
+        comb_all = np.concatenate(comb_all)
+        slot_all = np.concatenate(slot_all).astype(int)
+        order = np.argsort(-comb_all)[:kk]
+        np.testing.assert_allclose(s[b], comb_all[order], rtol=0, atol=2e-2)
+        assert set(sl[b].tolist()) == set(slot_all[order].tolist())
+
+
+def test_retrieve_v3_matches_xla_path(monkeypatch):
+    monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(6)
+    N = 4096
+    cfg3 = _mk_cfg(N, ivf_kernel="v3")
+    cfg_x = _mk_cfg(N, use_pallas_ivf=False)
+    feats = rng.randn(N, 64).astype(np.float32)
+    state = init_memory_state(cfg3)
+    state = bulk_load(cfg3, state, jnp.asarray(feats),
+                      jnp.zeros((N, 2), np.float32))
+    state = rebuild_centroids(cfg3, state, jax.random.PRNGKey(0))
+
+    q = jnp.asarray(feats[:6] + 0.1 * rng.randn(6, 64).astype(np.float32))
+    r_v3 = retrieve(cfg3, state, q, None, 5)
+    r_x = retrieve(cfg_x, state, q, None, 5)
+    np.testing.assert_array_equal(np.asarray(r_v3.indices),
+                                  np.asarray(r_x.indices))
+    np.testing.assert_allclose(np.asarray(r_v3.scores),
+                               np.asarray(r_x.scores), rtol=1e-5)
