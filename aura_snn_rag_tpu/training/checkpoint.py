@@ -60,7 +60,17 @@ class CheckpointManager:
             json.dump(meta, f)
 
     def restore(self, trainer, step: Optional[int] = None,
-                load_optimizer: bool = True) -> int:
+                load_optimizer: bool = True,
+                via_host: bool = True) -> int:
+        """Restore trainer state.
+
+        via_host=True (default) restores to host numpy and re-uploads:
+        direct-to-device restore leaves arrays whose layouts defeat buffer
+        donation in the compiled train step (the runtime inserts full copies
+        of params+optimizer), which OOMs a full-preset trainer on one chip
+        even though the same program ran before the save. The host hop
+        reproduces cold-start device state exactly.
+        """
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             return 0
@@ -79,9 +89,15 @@ class CheckpointManager:
         # shape/dtype matter for restore, so strip values entirely.
         import jax
         import jax.numpy as jnp
-        template = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-            template)
+        if via_host:
+            template = jax.tree.map(
+                lambda x: np.empty(jnp.shape(x), jnp.result_type(x)),
+                template)
+        else:
+            template = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    jnp.shape(x), jnp.result_type(x)),
+                template)
         # Release the freshly-initialized device state BEFORE materializing
         # the restored copy: otherwise params+optimizer+bank are resident
         # twice during restore, which OOMs a full-preset trainer on one chip
@@ -92,6 +108,11 @@ class CheckpointManager:
         trainer.hippocampus.state = None
         restored = self.manager.restore(
             step, args=ocp.args.StandardRestore(template))
+        if via_host:
+            # upload: fresh device arrays with default layouts (donatable)
+            restored = {
+                k: jax.tree.map(jnp.asarray, v) if k != "step" else v
+                for k, v in restored.items()}
 
         meta_path = os.path.join(self.directory, f"meta_{step}.json")
         meta = {}
