@@ -100,6 +100,17 @@ def main():
           f"chunk={args.chunk}", flush=True)
 
     ckpt = CheckpointManager(args.checkpoint_dir)
+    if ckpt.manager.latest_step() is not None:
+        # Execute ONE throwaway chunk before restoring: the train step's
+        # temp arenas get carved out of clean HBM first. Restoring ~3.6 GB
+        # of state before the first execution fragments the space and the
+        # arena reservation OOMs on one v5e chip (resume-only failure;
+        # cold starts are unaffected). The warmup update is discarded by
+        # the restore, and the chunk length must match --chunk so the same
+        # compiled program is exercised.
+        warm = train.sample_chunk(args.chunk, B)
+        trainer.train_chunk(warm, warm)
+        print("pre-restore arena warmup done", flush=True)
     start = ckpt.restore(trainer)
     os.makedirs(os.path.dirname(args.log) or ".", exist_ok=True)
     logf = open(args.log, "a", buffering=1)
