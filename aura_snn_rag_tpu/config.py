@@ -121,6 +121,11 @@ class ModelConfig:
     snn_ratio: float = 0.5
 
     use_gradient_checkpointing: bool = False
+    # remat policy: "full" recomputes the whole layer on backward (lowest
+    # memory, +~33% FLOPs); "dots" saves matmul/attention outputs and only
+    # recomputes elementwise work (GIF dynamics, gates, norms) — much less
+    # recompute for a modest activation-memory increase.
+    gradient_checkpoint_policy: str = "full"
     tie_word_embeddings: bool = True
     dtype: str = "bfloat16"              # computation dtype
 

@@ -81,8 +81,16 @@ class HippocampalTransformer(nn.Module):
         rag_cls = MemoryAugmentedLayer
         plain_cls = TransformerLayer
         if remat_on:
-            rag_cls = nn.remat(MemoryAugmentedLayer, static_argnums=(4,))
-            plain_cls = nn.remat(TransformerLayer, static_argnums=(3,))
+            # policy "dots": keep MXU outputs (QKV/FFN matmuls, attention),
+            # recompute only VPU work (GIF scans, gates, norms) on backward
+            # — cuts remat recompute FLOPs substantially vs full recompute.
+            policy = (jax.checkpoint_policies
+                      .dots_with_no_batch_dims_saveable
+                      if cfg.gradient_checkpoint_policy == "dots" else None)
+            rag_cls = nn.remat(MemoryAugmentedLayer, static_argnums=(4,),
+                               policy=policy)
+            plain_cls = nn.remat(TransformerLayer, static_argnums=(3,),
+                                 policy=policy)
         for i in range(cfg.num_layers):
             use_snn = i in cfg.snn_layers
             cache_i = kv_caches[i] if kv_caches is not None else None

@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--seq-len", type=int, default=0,
                     help="override preset max_seq_len")
     ap.add_argument("--grad-checkpoint", action="store_true")
+    ap.add_argument("--ckpt-policy", default="full",
+                    help="remat policy: full | dots (save MXU outputs, "
+                         "recompute only elementwise work)")
     ap.add_argument("--mu-dtype", default="",
                     help="AdamW first-moment dtype override (e.g. bfloat16 "
                          "frees ~0.9 GB for B=32 on one v5e chip)")
@@ -72,6 +75,7 @@ def main():
         model_kw["max_seq_len"] = args.seq_len
     if args.grad_checkpoint:
         model_kw["use_gradient_checkpointing"] = True
+        model_kw["gradient_checkpoint_policy"] = args.ckpt_policy
     train_kw = dict(max_steps=args.steps,
                     # thalamic veto off for unattended long runs: with a
                     # fresh model the gate clamps low and silently disables
