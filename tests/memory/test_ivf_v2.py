@@ -236,3 +236,36 @@ def test_retrieve_v3_matches_xla_path(monkeypatch):
                                   np.asarray(r_x.indices))
     np.testing.assert_allclose(np.asarray(r_v3.scores),
                                np.asarray(r_x.scores), rtol=1e-5)
+
+
+def test_retrieve_with_locations_spatial_ranking(monkeypatch):
+    """query_locations routes around the metadata-fused kernels (they fold
+    only strength/temporal) and the spatial term 1/(1+d) must reorder
+    cosine ties — reference scoring hippocampal.py:300-303."""
+    monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(7)
+    N, D = 1024, 64
+    cfg = _mk_cfg(N)
+    v = rng.randn(D).astype(np.float32)
+    feats = rng.randn(N, D).astype(np.float32)
+    # two duplicate memories of the query vector at different places
+    feats[10] = v
+    feats[20] = v
+    locs = rng.randn(N, 2).astype(np.float32) * 10
+    locs[10] = (9.0, 9.0)                       # far from query location
+    locs[20] = (0.1, 0.1)                       # near query location
+    state = init_memory_state(cfg)
+    state = bulk_load(cfg, state, jnp.asarray(feats), jnp.asarray(locs))
+    state = rebuild_centroids(cfg, state, jax.random.PRNGKey(0))
+
+    q = jnp.asarray(v)[None, :]
+    qloc = jnp.asarray([[0.0, 0.0]], jnp.float32)
+    res = retrieve(cfg, state, q, qloc, 5)
+    idx = np.asarray(res.indices)[0]
+    # both duplicates retrieved; the spatially-near one ranks above the far
+    assert 20 in idx and 10 in idx
+    assert list(idx).index(20) < list(idx).index(10)
+    # and agrees with the brute-force path
+    from aura_snn_rag_tpu.memory import retrieve_bruteforce
+    bf = retrieve_bruteforce(cfg, state, q, qloc, 5)
+    assert int(np.asarray(bf.indices)[0, 0]) == int(idx[0])
