@@ -184,6 +184,15 @@ class TrainingConfig:
     enable_amygdala: bool = True
     enable_endocrine: bool = True
     enable_thalamus: bool = True
+    # Let the endocrine memory gate (×[0.8,1.2], reference
+    # colab_l4_training.py:662-667) veto episodic memory when it drops the
+    # use_memory product below 0.9. The reference maps accuracy=exp(-loss),
+    # which saturates near 0 at any converged LM loss, so on long runs the
+    # hormone EMAs drift until the gate shuts memory off permanently —
+    # fine for the reference's short demos, wrong for unattended flagship
+    # runs. False keeps hormone-driven LR scaling but not the memory veto
+    # (same rationale as enable_thalamus=False for unattended runs).
+    endocrine_memory_gating: bool = True
 
     seed: int = 42
 

@@ -491,7 +491,7 @@ class Trainer:
 
         base_on = start >= tcfg.memory_warmup_steps
         use_memory = bool(
-            base_on and self._memory_gate_scale * self._thalamus_scale >= 0.9)
+            base_on and self._modulator_gate_on())
         store_mask = np.asarray(
             [use_memory and ((start + i) % tcfg.memory_store_interval == 0)
              for i in range(N)])
@@ -560,7 +560,7 @@ class Trainer:
 
         base_on = step >= tcfg.memory_warmup_steps
         use_memory = bool(
-            base_on and self._memory_gate_scale * self._thalamus_scale >= 0.9)
+            base_on and self._modulator_gate_on())
         store_memory = bool(use_memory
                             and step % tcfg.memory_store_interval == 0)
 
@@ -652,7 +652,7 @@ class Trainer:
             base_on = int(self.state.step) >= tcfg.memory_warmup_steps
             use_memory = bool(
                 base_on and cfg.use_rag
-                and self._memory_gate_scale * self._thalamus_scale >= 0.9)
+                and self._modulator_gate_on())
         memory_state = self.hippocampus.state if cfg.use_rag else None
 
         @jax.jit
@@ -670,6 +670,17 @@ class Trainer:
         self.ewc.consolidate(grad_fn, self.state.params, val_batches)
         # step functions capture self.ewc.fisher at trace time → rebuild
         self._step_fns.clear()
+
+    def _modulator_gate_on(self) -> bool:
+        """Endocrine/thalamic memory veto (colab_l4_training.py:599-600).
+
+        With endocrine_memory_gating=False the hormone gate keeps scaling
+        the LR but cannot veto memory (long-run accuracy=exp(-loss)
+        saturates low and would shut memory off permanently).
+        """
+        gate = (self._memory_gate_scale
+                if self.config.training.endocrine_memory_gating else 1.0)
+        return gate * self._thalamus_scale >= 0.9
 
     def _last_hormones(self):
         return getattr(self, "_hormones", {})

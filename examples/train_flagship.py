@@ -80,7 +80,12 @@ def main():
                     # thalamic veto off for unattended long runs: with a
                     # fresh model the gate clamps low and silently disables
                     # memory (same choice the r1 e2e run made)
-                    enable_thalamus=False)
+                    enable_thalamus=False,
+                    # likewise the hormone memory veto: accuracy=exp(-loss)
+                    # saturates near 0 at converged LM loss, so the gate
+                    # would shut episodic memory off permanently mid-run
+                    # (hormone LR scaling stays active)
+                    endocrine_memory_gating=False)
     if args.batch:
         train_kw["batch_size"] = args.batch
     if args.mu_dtype:

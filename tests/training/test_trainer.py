@@ -103,3 +103,24 @@ class TestEndocrineClamps:
                                 "energy": 1.0})
         assert levels["cortisol"] > 0.0
         assert levels["norepinephrine"] > 0.0
+
+
+def test_endocrine_memory_gating_knob():
+    """endocrine_memory_gating=False keeps hormone LR scaling but removes
+    the memory veto (long-run accuracy=exp(-loss) saturates low and would
+    permanently disable episodic memory — observed on the 50k flagship)."""
+    import dataclasses
+    from aura_snn_rag_tpu import config as cfg_mod
+    from aura_snn_rag_tpu.training.trainer import Trainer
+
+    base = cfg_mod.get_debug_config()
+    for gating, expect in ((True, False), (False, True)):
+        c = base.replace(training=dataclasses.replace(
+            base.training, endocrine_memory_gating=gating))
+        tr = Trainer(c, seed=0)
+        tr._memory_gate_scale = 0.85          # hormone gate below threshold
+        tr._thalamus_scale = 1.0
+        assert tr._modulator_gate_on() is expect
+        # the thalamic veto still applies in both modes
+        tr._thalamus_scale = 0.5
+        assert tr._modulator_gate_on() is False
