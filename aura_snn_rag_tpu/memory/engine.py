@@ -290,10 +290,28 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
         # top-k over all probed candidates, so this funnel has no
         # approx_max_k recall slack and no [B, P, C] intermediates.
         from aura_snn_rag_tpu.ops.pallas.ivf_scan import (
-            KPAD, default_interpret, ivf_candidates, ivf_topk_scores)
+            KPAD, default_interpret, ivf_candidates, ivf_retrieve_fused,
+            ivf_topk_scores)
         if aux is None:
             aux = build_ivf_aux(config, state)
         C = state.bucket_capacity
+        if (config.ivf_kernel == "v3r" and P * C >= KPAD
+                and state.max_memories % 8 == 0 and k <= KPAD):
+            # v3r: the whole retrieval (coarse scan + funnel + exact f32
+            # rerank + final top-k) finishes in ONE kernel; nothing left
+            # for XLA but the output feature gather.
+            kk3 = -(-kk // KPAD) * KPAD
+            s, sl = ivf_retrieve_fused(
+                state.clustered, aux, state.features, qn, top_c, kk3, k,
+                interpret=default_interpret())
+            scores = s[:, :k]
+            out_slots = sl[:, :k]
+            hit = scores > NEG_INF / 2
+            out_slots = jnp.where(hit, out_slots, -1)
+            feats = state.features[jnp.maximum(out_slots, 0)]
+            feats = jnp.where(hit[..., None], feats, 0.0)
+            return RetrievalResult(out_slots, jnp.where(hit, scores, 0.0),
+                                   feats)
         if config.ivf_kernel == "v3" and P * C >= KPAD:
             # v3: the kernel itself emits the global top-kk candidates
             # (sorted, exact over all probed entries) — no XLA funnel.

@@ -296,6 +296,220 @@ def ivf_candidates(clustered: jax.Array, aux: jax.Array,
     )(flat_idx, flat, aux_flat, q16)
 
 
+@functools.partial(jax.jit, static_argnames=("kk", "k", "interpret"))
+def ivf_retrieve_fused(clustered: jax.Array, aux: jax.Array,
+                       features: jax.Array, queries_norm: jax.Array,
+                       top_c: jax.Array, kk: int, k: int,
+                       interpret: bool = False):
+    """v3r kernel: coarse scan + funnel + exact f32 rerank + final top-k.
+
+    Extends `ivf_candidates` to finish the ENTIRE retrieval in one kernel:
+    after the cross-probe top-kk extraction, the kk candidates' raw f32
+    bank rows are DMA'd in (8-row aligned tiles, pipelined), L2-normalized
+    and rescored at f32 against the f32 query, and the final top-k by the
+    exact combined score is emitted. The exact score reuses the funnel's
+    per-candidate metadata terms: exact = aux0·cos_f32 + aux1, identical in
+    value to the XLA rerank because strength/temporal in the clustered
+    sidecar equal the bank-row values by the decay/write invariants
+    (tests/memory/test_decay_consistency.py).
+
+    clustered: [K, C, D] bf16; aux: [K, 8, C] f32 (`build_ivf_aux`);
+    features: [M, D] f32 raw bank rows (M % 8 == 0);
+    queries_norm: [B, D] f32 L2-normalized; top_c: [B, P] i32.
+    Returns (scores [B, KPAD] f32, slots [B, KPAD] i32) — lanes < k hold
+    the final exact top-k (sorted), the rest are -1e30 / 0.
+    """
+    K, C, D = clustered.shape
+    M = features.shape[0]
+    B, P = top_c.shape
+    assert kk % KPAD == 0 and 0 < kk <= P * C and k <= KPAD
+    assert M % 8 == 0
+    W = 8                                            # rerank DMA pipeline
+    flat_idx = top_c.reshape(-1).astype(jnp.int32)
+    q32 = jnp.broadcast_to(
+        queries_norm.astype(jnp.float32)[:, None, :], (B, 8, D))
+    flat = clustered.reshape(K * C, D)
+    aux_flat = aux.reshape(K * 8, C)
+
+    def kernel(idx_ref, flat_ref, aux_ref, feat_ref, q_ref,
+               out_s_ref, out_p_ref,
+               scratch, aux_scratch, scores2d, slots2d, a02d, a12d,
+               cand, ctile, slot_smem, sems, aux_sems, csems):
+        b = pl.program_id(0)
+        q32t = q_ref[0]                              # [8, D] f32 query tile
+        q8 = q32t.astype(flat_ref.dtype)             # bf16 for the coarse MXU
+
+        def get_dma(slot, p):
+            cid = idx_ref[b * P + p]
+            start = pl.multiple_of(cid * C, C)
+            return pltpu.make_async_copy(
+                flat_ref.at[pl.ds(start, C), :],
+                scratch.at[slot], sems.at[slot])
+
+        def get_aux_dma(slot, p):
+            cid = idx_ref[b * P + p]
+            start = pl.multiple_of(cid * 8, 8)
+            return pltpu.make_async_copy(
+                aux_ref.at[pl.ds(start, 8), :],
+                aux_scratch.at[slot], aux_sems.at[slot])
+
+        get_dma(0, 0).start()
+        get_aux_dma(0, 0).start()
+
+        def score_probe(p, carry):
+            slot = jax.lax.rem(p, 2)
+
+            @pl.when(p + 1 < P)
+            def _():
+                get_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+                get_aux_dma(jax.lax.rem(p + 1, 2), p + 1).start()
+
+            get_dma(slot, p).wait()
+            get_aux_dma(slot, p).wait()
+            cos = jax.lax.dot_general(
+                q8, scratch[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [8, C]
+            scores2d[p, :] = (aux_scratch[slot][0, :] * cos[0, :]
+                              + aux_scratch[slot][1, :])
+            slots2d[p, :] = aux_scratch[slot][2, :]
+            a02d[p, :] = aux_scratch[slot][0, :]
+            a12d[p, :] = aux_scratch[slot][1, :]
+            return carry
+
+        jax.lax.fori_loop(0, P, score_probe, 0)
+
+        # ---- cross-probe top-kk extraction (carry metadata per candidate:
+        # slot to SMEM for the rerank DMAs, slot/a0/a1 to [kk,1] columns) --
+        iota2d = (jax.lax.broadcasted_iota(jnp.int32, (P, C), 0) * C
+                  + jax.lax.broadcasted_iota(jnp.int32, (P, C), 1))
+        sub = jax.lax.broadcasted_iota(jnp.int32, (kk, 1), 0)
+
+        def extract(j, carry):
+            slot_col, a0_col, a1_col = carry
+            sc = scores2d[...]
+            m = jnp.max(sc)
+            sel = sc >= m
+            idx = jnp.min(jnp.where(sel, iota2d, P * C))
+            hit = iota2d == idx
+            slotv = jnp.sum(jnp.where(hit, slots2d[...], 0.0))
+            slot_i = slotv.astype(jnp.int32)
+            slot_smem[j] = slot_i
+            a0v = jnp.sum(jnp.where(hit, a02d[...], 0.0))
+            a1v = jnp.sum(jnp.where(hit, a12d[...], 0.0))
+            slot_col = jnp.where(sub == j, slot_i, slot_col)
+            a0_col = jnp.where(sub == j, a0v, a0_col)
+            a1_col = jnp.where(sub == j, a1v, a1_col)
+            scores2d[...] = jnp.where(hit, -1e30, sc)
+            return slot_col, a0_col, a1_col
+
+        slot_col = jnp.zeros((kk, 1), jnp.int32)
+        a0_col = jnp.zeros((kk, 1), jnp.float32)
+        a1_col = jnp.full((kk, 1), -1e30, jnp.float32)
+        slot_col, a0_col, a1_col = jax.lax.fori_loop(
+            0, kk, extract, (slot_col, a0_col, a1_col))
+
+        # ---- exact f32 rerank: DMA each candidate's raw bank row --------
+        def cand_dma(w, j):
+            s = slot_smem[j]
+            start = pl.multiple_of((s // 8) * 8, 8)
+            return pltpu.make_async_copy(
+                feat_ref.at[pl.ds(start, 8), :],
+                ctile.at[w], csems.at[w])
+
+        for w in range(W):
+            cand_dma(w, w).start()
+
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+        def fetch(j, carry):
+            w = jax.lax.rem(j, W)
+            cand_dma(w, j).wait()
+            s = slot_smem[j]
+            row = jnp.sum(jnp.where(iota8 == s - (s // 8) * 8,
+                                    ctile[w], 0.0), axis=0)     # [D]
+            # store BEFORE reusing the tile slot: the next DMA start below
+            # overwrites ctile[w] (WAR hazard if reordered)
+            cand[j, :] = row
+
+            @pl.when(j + W < kk)
+            def _():
+                cand_dma(w, j + W).start()
+            return carry
+
+        jax.lax.fori_loop(0, kk, fetch, 0)
+
+        # L2-normalize + exact cosine at f32 (matches engine._l2norm /
+        # HIGHEST-precision einsum semantics)
+        call = cand[...]                              # [kk, D] f32
+        inv = jax.lax.rsqrt(
+            jnp.sum(call * call, axis=1, keepdims=True) + 1e-12)  # [kk,1]
+        cosk = jax.lax.dot_general(
+            call, q32t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [kk, 8]
+        exact = a0_col * (cosk[:, 0:1] * inv) + a1_col        # [kk, 1]
+
+        # ---- final exact top-k over the kk candidates -------------------
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, KPAD), 1)
+
+        def final(j, carry):
+            ex, srow, prow = carry
+            m = jnp.max(ex)
+            sel = ex >= m
+            idx = jnp.min(jnp.where(sel, sub, kk))
+            hit = sub == idx
+            slotv = jnp.sum(jnp.where(hit, slot_col, 0))
+            srow = jnp.where(lane == j, m, srow)
+            prow = jnp.where(lane == j, slotv, prow)
+            ex = jnp.where(hit, -1e30, ex)
+            return ex, srow, prow
+
+        srow = jnp.full((1, KPAD), -1e30, jnp.float32)
+        prow = jnp.zeros((1, KPAD), jnp.int32)
+        _, srow, prow = jax.lax.fori_loop(
+            0, k, final, (exact, srow, prow))
+        out_s_ref[0, :] = srow[0]
+        out_p_ref[0, :] = prow[0]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),      # clustered (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),      # aux rows (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),      # f32 bank (HBM)
+                pl.BlockSpec((1, 8, D), lambda b, idx: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, KPAD), lambda b, idx: (b, 0)),
+                pl.BlockSpec((1, KPAD), lambda b, idx: (b, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, C, D), clustered.dtype),
+                pltpu.VMEM((2, 8, C), jnp.float32),
+                pltpu.VMEM((P, C), jnp.float32),
+                pltpu.VMEM((P, C), jnp.float32),
+                pltpu.VMEM((P, C), jnp.float32),
+                pltpu.VMEM((P, C), jnp.float32),
+                pltpu.VMEM((kk, D), jnp.float32),
+                pltpu.VMEM((W, 8, D), jnp.float32),
+                pltpu.SMEM((kk,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((W,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((B, KPAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat_idx, flat, aux_flat, features, q32)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ivf_scan_scores(clustered: jax.Array, queries_norm: jax.Array,
                     top_c: jax.Array, interpret: bool = False) -> jax.Array:

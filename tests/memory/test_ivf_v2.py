@@ -269,3 +269,58 @@ def test_retrieve_with_locations_spatial_ranking(monkeypatch):
     from aura_snn_rag_tpu.memory import retrieve_bruteforce
     bf = retrieve_bruteforce(cfg, state, q, qloc, 5)
     assert int(np.asarray(bf.indices)[0, 0]) == int(idx[0])
+
+
+def test_retrieve_v3r_fully_fused_matches_xla(monkeypatch):
+    """v3r (in-kernel exact rerank + final top-k) must agree with the
+    pure-XLA path on a planted-cluster bank (clear score margins)."""
+    monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(8)
+    N, D = 4096, 64
+    cfg_r = _mk_cfg(N, ivf_kernel="v3r")
+    cfg_x = _mk_cfg(N, use_pallas_ivf=False)
+    centers = rng.randn(32, D).astype(np.float32) * 3.0
+    feats = (centers[rng.randint(0, 32, N)]
+             + 0.3 * rng.randn(N, D).astype(np.float32))
+    state = init_memory_state(cfg_r)
+    state = bulk_load(cfg_r, state, jnp.asarray(feats),
+                      jnp.zeros((N, 2), np.float32))
+    state = rebuild_centroids(cfg_r, state, jax.random.PRNGKey(0))
+
+    q = jnp.asarray(feats[:6] + 0.05 * rng.randn(6, D).astype(np.float32))
+    r_r = retrieve(cfg_r, state, q, None, 5)
+    r_x = retrieve(cfg_x, state, q, None, 5)
+    np.testing.assert_array_equal(np.asarray(r_r.indices),
+                                  np.asarray(r_x.indices))
+    np.testing.assert_allclose(np.asarray(r_r.scores),
+                               np.asarray(r_x.scores), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_r.features),
+                               np.asarray(r_x.features), rtol=0, atol=0)
+
+
+def test_retrieve_v3r_decay_and_partial_bank(monkeypatch):
+    """v3r's in-kernel metadata (strength via aux, validity) must match the
+    brute-force ranking after decays on a partially-filled bank."""
+    monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
+    from aura_snn_rag_tpu.memory import retrieve_bruteforce
+    from aura_snn_rag_tpu.memory.engine import decay_memories
+
+    rng = np.random.RandomState(9)
+    N, used, D = 2048, 700, 64
+    cfg_r = _mk_cfg(N, ivf_kernel="v3r")
+    feats = rng.randn(used, D).astype(np.float32)
+    state = init_memory_state(cfg_r)
+    state = bulk_load(cfg_r, state, jnp.asarray(feats),
+                      jnp.zeros((used, 2), np.float32))
+    state = rebuild_centroids(cfg_r, state, jax.random.PRNGKey(0))
+    for _ in range(3):
+        state = decay_memories(state, 0.2)
+
+    q = jnp.asarray(feats[:4])
+    r_r = retrieve(cfg_r, state, q, None, 5)
+    r_b = retrieve_bruteforce(cfg_r, state, q, None, 5)
+    idx = np.asarray(r_r.indices)
+    assert ((idx >= -1) & (idx < used)).all()
+    # probing full centroid set on this small bank -> identical to brute
+    np.testing.assert_array_equal(idx[:, 0], np.asarray(r_b.indices)[:, 0])
+    assert np.isfinite(np.asarray(r_r.scores)).all()
