@@ -64,6 +64,7 @@ def main():
                        bucket_overprovision=2.0, rebuild_lloyd_iters=2,
                        n_place_cells=16, n_grid_cells=8, n_time_cells=4)
     cfg_v2 = dataclasses.replace(cfg, ivf_kernel="v2")
+    cfg_v3r = dataclasses.replace(cfg, ivf_kernel="v3r")
     state = init_memory_state(cfg)
     state = bulk_load(cfg, state, jnp.asarray(feats),
                       jnp.zeros((N, 2), np.float32))
@@ -168,6 +169,10 @@ def main():
             lambda r: r[0][0, :1])
         res["full_v3_ms"] = timed(
             "full_v3", lambda: retrieve(cfg, state, qb, None, TOPK, aux=aux),
+            lambda r: r.indices[0, :1])
+        res["full_v3r_ms"] = timed(
+            "full_v3r",
+            lambda: retrieve(cfg_v3r, state, qb, None, TOPK, aux=aux),
             lambda r: r.indices[0, :1])
         res["full_v2_ms"] = timed(
             "full_v2",

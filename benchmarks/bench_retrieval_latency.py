@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--batches", default="1,8,32,128")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--kernel", default="",
+                    help="override MemoryConfig.ivf_kernel (v2|v3|v3r)")
     args = ap.parse_args()
 
     import jax
@@ -47,10 +49,12 @@ def main():
     queries = feats[rng.randint(0, N, 128)] + \
         0.1 * rng.randn(128, D).astype(np.float32)
 
+    kernel_kw = {"ivf_kernel": args.kernel} if args.kernel else {}
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0, rebuild_lloyd_iters=2,
-                       n_place_cells=16, n_grid_cells=8, n_time_cells=4)
+                       n_place_cells=16, n_grid_cells=8, n_time_cells=4,
+                       **kernel_kw)
     state = init_memory_state(cfg)
     state = bulk_load(cfg, state, jnp.asarray(feats),
                       jnp.zeros((N, 2), np.float32))

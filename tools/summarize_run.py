@@ -19,7 +19,8 @@ def main(path):
 
     print(f"{'step':>6} {'loss':>7} {'ce':>7} {'ppl':>9} "
           f"{'val_loss':>9} {'val_ppl':>9} {'mem':>7}")
-    for mark in (100, 500, 1000, 2500, 5000, 7500, 10000):
+    for mark in (100, 500, 1000, 2500, 5000, 7500, 10000, 12500, 15000,
+                 20000, 25000, 30000, 35000, 40000, 45000, 50000):
         r = at(mark)
         if r is None:
             continue

@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--coarse", default="bf16",
                     help="comma list of flat-scan coarse dtypes to warm "
                          "(bf16,int8)")
+    ap.add_argument("--kernels", default="v3",
+                    help="comma list of IVF kernel generations to warm "
+                         "(v2,v3,v3r)")
     args = ap.parse_args()
 
     import jax
@@ -61,14 +64,21 @@ def main():
         np.asarray(state.count)
         print(f"[{coarse}] write warmed", flush=True)
 
+        import dataclasses
         for B in [int(b) for b in args.batches.split(",")]:
             q = jnp.asarray(feats[:B])
-            for name, fn in (("ivf", retrieve), ("flat", retrieve_flat)):
+            for kver in args.kernels.split(","):
+                cfg_k = dataclasses.replace(cfg, ivf_kernel=kver.strip())
                 t0 = time.time()
-                res = fn(cfg, state, q, None, 10)
+                res = retrieve(cfg_k, state, q, None, 10)
                 np.asarray(res.indices)
-                print(f"[{coarse}] {name} B={B} warmed in "
+                print(f"[{coarse}] ivf-{kver} B={B} warmed in "
                       f"{time.time()-t0:.1f}s", flush=True)
+            t0 = time.time()
+            res = retrieve_flat(cfg, state, q, None, 10)
+            np.asarray(res.indices)
+            print(f"[{coarse}] flat B={B} warmed in "
+                  f"{time.time()-t0:.1f}s", flush=True)
     print("cache warm", flush=True)
 
 
