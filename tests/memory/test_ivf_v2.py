@@ -324,3 +324,27 @@ def test_retrieve_v3r_decay_and_partial_bank(monkeypatch):
     # probing full centroid set on this small bank -> identical to brute
     np.testing.assert_array_equal(idx[:, 0], np.asarray(r_b.indices)[:, 0])
     assert np.isfinite(np.asarray(r_r.scores)).all()
+
+
+def test_retrieve_v3r_fewer_valid_than_funnel(monkeypatch):
+    """Bank with fewer live rows than the kk funnel width: padding entries
+    carry -1e30 scores and must come back as no-hit (-1), never slot 0."""
+    monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(10)
+    N, used, D = 2048, 40, 64
+    cfg_r = _mk_cfg(N, ivf_kernel="v3r")
+    feats = rng.randn(used, D).astype(np.float32)
+    state = init_memory_state(cfg_r)
+    state = bulk_load(cfg_r, state, jnp.asarray(feats),
+                      jnp.zeros((used, 2), np.float32))
+    state = rebuild_centroids(cfg_r, state, jax.random.PRNGKey(0))
+
+    q = jnp.asarray(feats[:3])
+    res = retrieve(cfg_r, state, q, None, 5)
+    idx = np.asarray(res.indices)
+    sc = np.asarray(res.scores)
+    assert ((idx >= -1) & (idx < used)).all()
+    assert (idx[:, 0] == np.arange(3)).all()        # self-retrieval
+    # no-hit lanes are -1 with zero score, not phantom slot-0 entries
+    assert ((idx >= 0) | (sc == 0.0)).all()
+    assert np.isfinite(sc).all()
