@@ -30,6 +30,9 @@ SMALL = "--small" in sys.argv
 # (same exact f32 rerank); opt in with --int8 (flip the default only after
 # on-chip validation at full scale)
 COARSE_DTYPE = "int8" if "--int8" in sys.argv else "bf16"
+# IVF kernel generation override for A/B runs: --kernel=v2|v3|v3r
+IVF_KERNEL = next((a.split("=", 1)[1] for a in sys.argv
+                   if a.startswith("--kernel=")), None)
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -66,12 +69,14 @@ def tpu_bench(feats, queries):
         init_memory_state, rebuild_centroids, retrieve)
     from aura_snn_rag_tpu.memory.engine import bulk_load
 
+    kernel_kw = {"ivf_kernel": IVF_KERNEL} if IVF_KERNEL else {}
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0,
                        rebuild_lloyd_iters=LLOYD_ITERS,
                        coarse_dtype=COARSE_DTYPE,
-                       n_place_cells=16, n_grid_cells=8, n_time_cells=4)
+                       n_place_cells=16, n_grid_cells=8, n_time_cells=4,
+                       **kernel_kw)
     state = init_memory_state(cfg)
     f = jnp.asarray(feats)
     state = bulk_load(cfg, state, f, jnp.zeros((N, 2), jnp.float32))
