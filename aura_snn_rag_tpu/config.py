@@ -76,6 +76,12 @@ class MemoryConfig:
     # score error is absorbed by the exact f32 rerank funnel exactly like
     # bf16's rounding is. The IVF clustered store stays bf16.
     coarse_dtype: str = "bf16"
+    # Score-chain dtype for the FLAT path's [B, M] intermediates (cosine,
+    # combined score, mask): "f32" (default) or "bf16". At 1M rows the f32
+    # chain writes+rereads ~0.5 GB per 128-query batch on top of the bank
+    # read; bf16 halves that HBM traffic. Funnel-only precision — the
+    # exact f32 rerank restores exactness on the survivors.
+    flat_score_dtype: str = "f32"
 
     @property
     def bucket_capacity(self) -> int:

@@ -445,6 +445,10 @@ def retrieve_flat(config: MemoryConfig, state: MemoryState,
     M = state.max_memories
     qn = _l2norm(queries)                                        # [B, D]
     cos = _coarse_cos(state.features_nb16, qn)                   # [B, M]
+    # funnel-score dtype: bf16 halves the [B, M] intermediate traffic
+    # (the exact f32 rerank restores exactness on the survivors)
+    sdt = jnp.bfloat16 if config.flat_score_dtype == "bf16" else jnp.float32
+    cos = cos.astype(sdt)
 
     # streaming [M] metadata (no scatter/gather)
     ages = (state.step - state.timestamp) * config.seconds_per_step
@@ -453,14 +457,15 @@ def retrieve_flat(config: MemoryConfig, state: MemoryState,
         d = jnp.sqrt(jnp.sum(
             (state.locations[None] - query_locations[:, None]) ** 2,
             axis=-1) + 1e-12)
-        spatial = 1.0 / (1.0 + d)
+        spatial = (1.0 / (1.0 + d)).astype(sdt)
     else:
-        spatial = jnp.zeros(())
+        spatial = jnp.zeros((), sdt)
     combined = (config.w_cosine * cos + config.w_spatial * spatial
-                + config.w_temporal * temporal[None, :]) \
-        * state.strength[None, :]
+                + (config.w_temporal * temporal).astype(sdt)[None, :]) \
+        * state.strength.astype(sdt)[None, :]
     active = jnp.arange(M) < state.active_count()
-    combined = jnp.where(active[None, :], combined, NEG_INF)
+    combined = jnp.where(active[None, :], combined,
+                         jnp.asarray(NEG_INF, sdt))
 
     kk = min(max(config.rerank_candidates, 4 * k), M)
     # TPU-native approximate top-k (hardware MIPS path): the exact f32

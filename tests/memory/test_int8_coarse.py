@@ -56,3 +56,50 @@ def test_int8_write_path_roundtrip():
     res = retrieve_flat(cfg, st, f[:4], None, 3)
     np.testing.assert_array_equal(np.asarray(res.indices)[:, 0],
                                   np.arange(4))
+
+
+def test_bf16_score_chain_matches_f32_topk():
+    """flat_score_dtype='bf16' halves the [B, M] funnel traffic; the exact
+    f32 rerank must make the final top-k identical to the f32 chain."""
+    rng = np.random.RandomState(2)
+    feats = rng.randn(2048, 64).astype(np.float32)
+    q = jnp.asarray(feats[:8] + 0.1 * rng.randn(8, 64).astype(np.float32))
+
+    results = {}
+    for dt in ("f32", "bf16"):
+        cfg = _cfg(flat_score_dtype=dt)
+        st = init_memory_state(cfg)
+        st = bulk_load(cfg, st, jnp.asarray(feats),
+                       jnp.zeros((2048, 2), np.float32))
+        results[dt] = retrieve_flat(cfg, st, q, None, 5)
+
+    np.testing.assert_array_equal(np.asarray(results["bf16"].indices),
+                                  np.asarray(results["f32"].indices))
+    np.testing.assert_allclose(np.asarray(results["bf16"].scores),
+                               np.asarray(results["f32"].scores), rtol=1e-5)
+
+
+def test_bf16_score_chain_with_locations():
+    """Spatial term rides the bf16 chain too; ranking must still follow
+    proximity on cosine ties and match the f32 chain."""
+    rng = np.random.RandomState(3)
+    N, D = 1024, 64
+    v = rng.randn(D).astype(np.float32)
+    feats = rng.randn(N, D).astype(np.float32)
+    feats[10] = v
+    feats[20] = v
+    locs = rng.randn(N, 2).astype(np.float32) * 10
+    locs[10] = (9.0, 9.0)
+    locs[20] = (0.1, 0.1)
+    q = jnp.asarray(v)[None, :]
+    qloc = jnp.asarray([[0.0, 0.0]], jnp.float32)
+
+    idxs = {}
+    for dt in ("f32", "bf16"):
+        cfg = _cfg(flat_score_dtype=dt)
+        st = init_memory_state(cfg)
+        st = bulk_load(cfg, st, jnp.asarray(feats), jnp.asarray(locs))
+        idxs[dt] = np.asarray(retrieve_flat(cfg, st, q, qloc, 5).indices)
+    np.testing.assert_array_equal(idxs["bf16"], idxs["f32"])
+    row = list(idxs["bf16"][0])
+    assert row.index(20) < row.index(10)
