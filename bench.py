@@ -33,6 +33,9 @@ COARSE_DTYPE = "int8" if "--int8" in sys.argv else "bf16"
 # IVF kernel generation override for A/B runs: --kernel=v2|v3|v3r
 IVF_KERNEL = next((a.split("=", 1)[1] for a in sys.argv
                    if a.startswith("--kernel=")), None)
+# flat funnel-score chain dtype override: --flat-score=bf16
+FLAT_SCORE = next((a.split("=", 1)[1] for a in sys.argv
+                   if a.startswith("--flat-score=")), None)
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -70,6 +73,8 @@ def tpu_bench(feats, queries):
     from aura_snn_rag_tpu.memory.engine import bulk_load
 
     kernel_kw = {"ivf_kernel": IVF_KERNEL} if IVF_KERNEL else {}
+    if FLAT_SCORE:
+        kernel_kw["flat_score_dtype"] = FLAT_SCORE
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0,
