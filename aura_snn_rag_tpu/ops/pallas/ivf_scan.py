@@ -262,10 +262,13 @@ def ivf_candidates(clustered: jax.Array, aux: jax.Array,
         srow = jnp.full((1, kk), -1e30, jnp.float32)
         prow = jnp.zeros((1, kk), jnp.int32)
         srow, prow = jax.lax.fori_loop(0, kk, extract, (srow, prow))
-        out_s_ref[0, :] = srow[0]
-        out_p_ref[0, :] = prow[0]
+        out_s_ref[0, 0, :] = srow[0]
+        out_p_ref[0, 0, :] = prow[0]
 
-    return pl.pallas_call(
+    # outputs carry an 8-sublane pad dim (Mosaic requires the last two
+    # block dims to tile as (8, 128) when the block is narrower than the
+    # array); row 0 holds the data, sliced off below.
+    sc, sl = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -276,8 +279,8 @@ def ivf_candidates(clustered: jax.Array, aux: jax.Array,
                 pl.BlockSpec((1, 8, D), lambda b, idx: (b, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, kk), lambda b, idx: (b, 0)),
-                pl.BlockSpec((1, kk), lambda b, idx: (b, 0)),
+                pl.BlockSpec((1, 8, kk), lambda b, idx: (b, 0, 0)),
+                pl.BlockSpec((1, 8, kk), lambda b, idx: (b, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, C, D), clustered.dtype),
@@ -289,11 +292,12 @@ def ivf_candidates(clustered: jax.Array, aux: jax.Array,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, kk), jnp.float32),
-            jax.ShapeDtypeStruct((B, kk), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, kk), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, kk), jnp.int32),
         ],
         interpret=interpret,
     )(flat_idx, flat, aux_flat, q16)
+    return sc[:, 0, :], sl[:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("kk", "k", "interpret"))
@@ -469,10 +473,11 @@ def ivf_retrieve_fused(clustered: jax.Array, aux: jax.Array,
         prow = jnp.zeros((1, KPAD), jnp.int32)
         _, srow, prow = jax.lax.fori_loop(
             0, k, final, (exact, srow, prow))
-        out_s_ref[0, :] = srow[0]
-        out_p_ref[0, :] = prow[0]
+        out_s_ref[0, 0, :] = srow[0]
+        out_p_ref[0, 0, :] = prow[0]
 
-    return pl.pallas_call(
+    # 8-sublane output pad (see ivf_candidates); row 0 sliced off below
+    sc, sl = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -484,8 +489,8 @@ def ivf_retrieve_fused(clustered: jax.Array, aux: jax.Array,
                 pl.BlockSpec((1, 8, D), lambda b, idx: (b, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, KPAD), lambda b, idx: (b, 0)),
-                pl.BlockSpec((1, KPAD), lambda b, idx: (b, 0)),
+                pl.BlockSpec((1, 8, KPAD), lambda b, idx: (b, 0, 0)),
+                pl.BlockSpec((1, 8, KPAD), lambda b, idx: (b, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, C, D), clustered.dtype),
@@ -503,11 +508,12 @@ def ivf_retrieve_fused(clustered: jax.Array, aux: jax.Array,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, KPAD), jnp.float32),
-            jax.ShapeDtypeStruct((B, KPAD), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, KPAD), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, KPAD), jnp.int32),
         ],
         interpret=interpret,
     )(flat_idx, flat, aux_flat, features, q32)
+    return sc[:, 0, :], sl[:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
