@@ -66,9 +66,11 @@ class MemoryConfig:
     # fused Pallas gather+score kernel for the IVF path (TPU backends only)
     use_pallas_ivf: bool = True
     # IVF kernel generation: "v2" = per-probe in-kernel top-k + XLA funnel,
-    # "v3" = cross-probe exact top-kk finished in-kernel (one output row per
-    # query, no XLA funnel dispatch). Both feed the same exact f32 rerank.
-    ivf_kernel: str = "v3"
+    # "v3" = cross-probe exact top-kk finished in-kernel, "v3r" = exact f32
+    # rerank + final top-k fused too (XLA does only the output gather).
+    # Measured on v5e @1M×768 (32-rep pipelined device time, probe=64):
+    # B=1 v3r 1.01 ms / v2 1.13 / v3 1.28; B=8 v3 2.08 / v3r 2.18 / v2 3.02.
+    ivf_kernel: str = "v3r"
     # Coarse-scan precision for the FLAT path's bank copy: "bf16" (default)
     # or "int8" (symmetric 127-scale quantization of the L2-normalized
     # rows). The flat scan is HBM-bandwidth-bound at 1M vectors, so int8
