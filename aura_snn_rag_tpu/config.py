@@ -61,8 +61,16 @@ class MemoryConfig:
     # Capacity-overflow spill rounds: rows overflowing a full bucket move to
     # their next-nearest centroid, iteratively (cuckoo-style). Each round
     # shrinks residual drops geometrically; rows still overflowing after the
-    # last round are reachable only by the flat/brute paths.
-    spill_rounds: int = 3
+    # last round land in the reserved overflow annex (below), or — if that
+    # is full too — are reachable only by the flat/brute paths.
+    spill_rounds: int = 8
+    # Reserved overflow annex: the LAST min(overflow_buckets, K//4) clusters
+    # are excluded from k-means (sentinel centroids, never probed) and hold
+    # rows that still overflow after all spill rounds. Queries score the
+    # annex with one contiguous [G·C, D] matmul merged into the funnel, so
+    # dense-region capacity drops cost ~zero recall instead of ~2-3% @1M
+    # (measured: 33k/1M rows dropped at overprovision 2.0, spill 3).
+    overflow_buckets: int = 16
     # fused Pallas gather+score kernel for the IVF path (TPU backends only)
     use_pallas_ivf: bool = True
     # IVF kernel generation: "v2" = per-probe in-kernel top-k + XLA funnel,

@@ -224,6 +224,51 @@ def _combined_score(config: MemoryConfig, state: MemoryState,
 # RETRIEVE — IVF (centroid-probed) path
 # --------------------------------------------------------------------------
 
+def _annex_coarse(config: MemoryConfig, state: MemoryState, qn: jax.Array,
+                  query_locations: Optional[jax.Array], kcap: int):
+    """Coarse-score the reserved overflow annex (last G clusters).
+
+    The annex holds rows the capacity spill could not place; its clusters
+    have sentinel centroids so probing never reaches them. One contiguous
+    [G·C, D] bf16 matmul scores every annex entry with the same combined
+    metric; returns its top-kcap (scores, slots, valid) for the funnel, or
+    None when no annex is configured.
+    """
+    K, C = state.k_centroids, state.bucket_capacity
+    G = min(config.overflow_buckets, K // 4)
+    if G == 0:
+        return None
+    Ku = K - G
+    D = state.clustered.shape[-1]
+    a_feats = state.clustered[Ku:].reshape(G * C, D)
+    cos = jnp.einsum("ad,bd->ba", a_feats,
+                     qn.astype(state.clustered.dtype)).astype(jnp.float32)
+    strength = jnp.exp(state.decay_accum
+                       - state.cluster_decay[Ku:]).reshape(-1)
+    ages = (state.step - state.cluster_ts[Ku:]).reshape(-1) \
+        * config.seconds_per_step
+    temporal = jnp.exp(-jnp.maximum(ages, 0.0) / config.temporal_tau)
+    gens = state.cluster_gen[Ku:].reshape(-1)
+    valid = (gens >= 0) & (gens >= state.count - state.max_memories)
+    if query_locations is not None:
+        locs = state.cluster_loc[Ku:].reshape(G * C, -1)
+        d = jnp.sqrt(jnp.sum(
+            (locs[None] - query_locations[:, None]) ** 2, axis=-1) + 1e-12)
+        spatial = 1.0 / (1.0 + d)                       # [B, G*C]
+    else:
+        spatial = 0.0
+    comb = ((config.w_cosine * cos + config.w_spatial * spatial
+             + config.w_temporal * temporal[None, :]) * strength[None, :])
+    comb = jnp.where(valid[None, :], comb, NEG_INF)
+    kcap = min(kcap, comb.shape[-1])
+    sc, pick = jax.lax.top_k(comb, kcap)
+    slots_row = jnp.maximum(state.cluster_slot[Ku:].reshape(-1), 0)
+    sl = slots_row[pick]
+    return sc, sl.astype(jnp.int32), sc > NEG_INF / 2
+
+
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def build_ivf_aux(config: MemoryConfig, state: MemoryState) -> jax.Array:
     """Precompute the fused-kernel metadata sidecar ([K, 8, C] f32).
@@ -265,7 +310,8 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
     [C, D] blocks from the clustered store, score all P·C candidates with the
     combined metric, mask invalid/stale entries, single top-k.
     """
-    P = min(config.probe_centroids, state.k_centroids)
+    G = min(config.overflow_buckets, state.k_centroids // 4)
+    P = min(config.probe_centroids, state.k_centroids - G)
     qn = _l2norm(queries)                                       # [B, D]
 
     # nearest centroids by L2: argmin ||c - q||^2 = argmin ||c||^2 - 2 q·c
@@ -306,6 +352,22 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
                 interpret=default_interpret())
             scores = s[:, :k]
             out_slots = sl[:, :k]
+            annex = _annex_coarse(config, state, qn, None, k)
+            if annex is not None:
+                # exact-rerank the annex's coarse top-k in XLA (tiny) and
+                # merge with the kernel's already-exact output by score
+                a_s, a_sl, a_valid = annex
+                a_feats = state.features[a_sl]
+                a_cos = jnp.einsum(
+                    "bkd,bd->bk",
+                    _l2norm(a_feats.astype(jnp.float32)), qn,
+                    precision=jax.lax.Precision.HIGHEST)
+                a_exact = _combined_score(config, state, a_cos, a_sl, None)
+                a_exact = jnp.where(a_valid, a_exact, NEG_INF)
+                all_s = jnp.concatenate([scores, a_exact], axis=1)
+                all_sl = jnp.concatenate([out_slots, a_sl], axis=1)
+                scores, pick2 = jax.lax.top_k(all_s, k)
+                out_slots = jnp.take_along_axis(all_sl, pick2, axis=1)
             hit = scores > NEG_INF / 2
             out_slots = jnp.where(hit, out_slots, -1)
             feats = state.features[jnp.maximum(out_slots, 0)]
@@ -358,6 +420,15 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
         slots = slots.reshape(B, -1)
         valid = valid.reshape(B, -1)
         combined = jnp.where(valid, combined, NEG_INF)
+
+    # merge the overflow annex's coarse top-kk into the funnel (spill
+    # drops otherwise cost ~2-3% recall@10 at 1M — see rebuild_centroids)
+    annex = _annex_coarse(config, state, qn, query_locations, kk)
+    if annex is not None:
+        a_s, a_sl, a_valid = annex
+        combined = jnp.concatenate([combined, a_s], axis=1)
+        slots = jnp.concatenate([slots, a_sl], axis=1)
+        valid = jnp.concatenate([valid, a_valid], axis=1)
 
     # Coarse top-k' on bf16 scores, then exact f32 rerank from the bank
     # (standard IVF+rerank: the bf16 clustered scan is bandwidth-optimal but
@@ -558,9 +629,18 @@ def rebuild_centroids(config: MemoryConfig, state: MemoryState,
     active = jnp.arange(M) < state.active_count()
 
     # ---- init: K distinct random active rows ----
+    # reserved overflow annex: the last G clusters are excluded from
+    # k-means (sentinel centroids — never nearest, never probed) and hold
+    # rows that still overflow after every spill round; queries score them
+    # via one contiguous matmul merged into the funnel (engine.retrieve).
+    G = min(config.overflow_buckets, K // 4)
+    Ku = K - G
     r = jax.random.uniform(key, (M,)) + jnp.where(active, 0.0, 1e9)
-    _, init_idx = jax.lax.top_k(-r, K)
+    _, init_idx = jax.lax.top_k(-r, Ku)
     centroids = feats[init_idx]
+    if G:
+        centroids = jnp.concatenate(
+            [centroids, jnp.full((G, feats.shape[1]), 1e6, feats.dtype)])
 
     # ---- Lloyd iterations (blockwise: avoid a full [M, K] live buffer) ----
     BLK = 65536
@@ -607,7 +687,7 @@ def rebuild_centroids(config: MemoryConfig, state: MemoryState,
     # second-choice scheme saturates in dense regions (r1 weak #4), while
     # each extra round shrinks residual drops geometrically. Queries probe
     # P ≫ spill_rounds centroids, so spilled members stay reachable.
-    S = max(2, min(int(config.spill_rounds) + 1, K))
+    S = max(2, min(int(config.spill_rounds) + 1, Ku))
     idxS, distS = assign_rows_topS(centroids, S)
 
     def rank_within(a, key):
@@ -657,6 +737,15 @@ def rebuild_centroids(config: MemoryConfig, state: MemoryState,
     # out-of-bounds rows (mode='drop') for non-kept entries
     row = jnp.where(keep, sorted_assign, K)
     col = jnp.where(keep, rank, 0)
+    if G:
+        # rows still overflowing after all spill rounds pack sequentially
+        # into the annex clusters [Ku, K); beyond G*C capacity they drop
+        # (reachable only by the flat/brute paths)
+        over = (~keep) & (sorted_assign < K)
+        a_idx = jnp.cumsum(over.astype(jnp.int32)) - 1
+        in_annex = over & (a_idx < G * C)
+        row = jnp.where(in_annex, Ku + a_idx // C, row)
+        col = jnp.where(in_annex, a_idx % C, col)
     src_slot = order.astype(jnp.int32)
 
     cluster_slot = jnp.full((K, C), -1, jnp.int32).at[row, col].set(
@@ -675,6 +764,10 @@ def rebuild_centroids(config: MemoryConfig, state: MemoryState,
     cluster_loc = jnp.zeros_like(state.cluster_loc).at[row, col].set(
         state.locations[order], mode="drop")
     bucket_fill = jnp.minimum(counts.astype(jnp.int32), C)
+    if G:
+        n_over = jnp.minimum(jnp.sum(over.astype(jnp.int32)), G * C)
+        annex_fill = jnp.clip(n_over - jnp.arange(G) * C, 0, C)
+        bucket_fill = bucket_fill.at[Ku:].set(annex_fill)
 
     return state._replace(
         centroid_id=jnp.where(active, assign, -1).astype(jnp.int32),
@@ -687,5 +780,5 @@ def rebuild_centroids(config: MemoryConfig, state: MemoryState,
         cluster_decay=cluster_decay,
         cluster_loc=cluster_loc,
         bucket_fill=bucket_fill,
-        index_ready=state.active_count() >= jnp.asarray(K, jnp.int32),
+        index_ready=state.active_count() >= jnp.asarray(Ku, jnp.int32),
     )

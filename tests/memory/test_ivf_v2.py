@@ -348,3 +348,42 @@ def test_retrieve_v3r_fewer_valid_than_funnel(monkeypatch):
     # no-hit lanes are -1 with zero score, not phantom slot-0 entries
     assert ((idx >= 0) | (sc == 0.0)).all()
     assert np.isfinite(sc).all()
+
+
+def test_overflow_annex_full_reachability(monkeypatch):
+    """When real-cluster capacity < N, the spilled remainder must land in
+    the reserved annex (not drop), and IVF retrieval must still find every
+    row — the ~2-3% recall ceiling measured at 1M before the annex."""
+    monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(11)
+    N, D = 3800, 64
+    # K=16, overprovision 1.0 -> C=256; G=4 annex -> 12 real clusters
+    # (3072 slots) + 1024 annex slots: at least ~728 rows MUST be annexed
+    cfg = MemoryConfig(max_memories=4096, feature_dim=64, k_centroids=16,
+                       probe_centroids=4, retrieve_k=5,
+                       bucket_overprovision=1.0, rebuild_lloyd_iters=2,
+                       n_place_cells=8, n_grid_cells=4, n_time_cells=2)
+    feats = rng.randn(N, D).astype(np.float32)
+    state = init_memory_state(cfg)
+    state = bulk_load(cfg, state, jnp.asarray(feats),
+                      jnp.zeros((N, 2), np.float32))
+    state = rebuild_centroids(cfg, state, jax.random.PRNGKey(0))
+
+    K, C = state.k_centroids, state.bucket_capacity
+    G = min(cfg.overflow_buckets, K // 4)
+    Ku = K - G
+    slots_all = np.asarray(state.cluster_slot).reshape(-1)
+    live = set(int(x) for x in slots_all if x >= 0)
+    assert len(live) == N, f"dropped {N - len(live)} rows"
+    annexed = set(int(x) for x in
+                  np.asarray(state.cluster_slot[Ku:]).reshape(-1) if x >= 0)
+    assert len(annexed) > 200          # annex actually used
+
+    # self-retrieval through each IVF path, including annexed rows
+    sample = sorted(annexed)[:8] + [0, 1, 2, 3]
+    q = jnp.asarray(feats[np.asarray(sample)])
+    for kern in ("v2", "v3", "v3r"):
+        cfgk = dataclasses.replace(cfg, ivf_kernel=kern)
+        res = retrieve(cfgk, state, q, None, 3)
+        got = np.asarray(res.indices)[:, 0]
+        assert (got == np.asarray(sample)).all(), (kern, got, sample)
