@@ -69,7 +69,10 @@ class MemoryConfig:
     # rows that still overflow after all spill rounds. Queries score the
     # annex with one contiguous [G·C, D] matmul merged into the funnel, so
     # dense-region capacity drops cost ~zero recall instead of ~2-3% @1M
-    # (measured: 33k/1M rows dropped at overprovision 2.0, spill 3).
+    # (measured: 33k/1M rows dropped at overprovision 2.0, spill 3; with a
+    # 64-bucket annex: 0 drops, recall@10 = 1.0000 on every kernel).
+    # Size for big banks: annex capacity G*C should cover ~3-4% of M
+    # (G ≈ ceil(0.04*M/C)); G is silently capped at K//4.
     overflow_buckets: int = 16
     # fused Pallas gather+score kernel for the IVF path (TPU backends only)
     use_pallas_ivf: bool = True

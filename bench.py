@@ -80,6 +80,7 @@ def tpu_bench(feats, queries):
                        bucket_overprovision=2.0,
                        rebuild_lloyd_iters=LLOYD_ITERS,
                        coarse_dtype=COARSE_DTYPE,
+                       overflow_buckets=8 if SMALL else 64,
                        n_place_cells=16, n_grid_cells=8, n_time_cells=4,
                        **kernel_kw)
     state = init_memory_state(cfg)

@@ -62,6 +62,7 @@ def main():
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0, rebuild_lloyd_iters=2,
+                       overflow_buckets=8 if args.small else 64,
                        n_place_cells=16, n_grid_cells=8, n_time_cells=4)
     cfg_v2 = dataclasses.replace(cfg, ivf_kernel="v2")
     cfg_v3r = dataclasses.replace(cfg, ivf_kernel="v3r")

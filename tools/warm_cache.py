@@ -47,7 +47,7 @@ def main():
         cfg = MemoryConfig(max_memories=args.n, feature_dim=args.d,
                            k_centroids=args.k, probe_centroids=args.probe,
                            bucket_overprovision=2.0, rebuild_lloyd_iters=2,
-                           coarse_dtype=coarse,
+                           overflow_buckets=64, coarse_dtype=coarse,
                            n_place_cells=16, n_grid_cells=8, n_time_cells=4)
 
         t0 = time.time()
