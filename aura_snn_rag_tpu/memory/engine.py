@@ -352,9 +352,12 @@ def retrieve(config: MemoryConfig, state: MemoryState, queries: jax.Array,
                 interpret=default_interpret())
             scores = s[:, :k]
             out_slots = sl[:, :k]
-            annex = _annex_coarse(config, state, qn, None, k)
+            # annex funnel is kk-wide like every other merge path: a k-wide
+            # coarse funnel loses near-tie annex rows that the exact f32
+            # rerank would promote (ADVICE r2 medium)
+            annex = _annex_coarse(config, state, qn, None, kk3)
             if annex is not None:
-                # exact-rerank the annex's coarse top-k in XLA (tiny) and
+                # exact-rerank the annex's coarse top-kk in XLA (tiny) and
                 # merge with the kernel's already-exact output by score
                 a_s, a_sl, a_valid = annex
                 a_feats = state.features[a_sl]

@@ -399,8 +399,19 @@ def ivf_retrieve_fused(clustered: jax.Array, aux: jax.Array,
             slotv = jnp.sum(jnp.where(hit, slots2d[...], 0.0))
             slot_i = slotv.astype(jnp.int32)
             slot_smem[j] = slot_i
-            a0v = jnp.sum(jnp.where(hit, a02d[...], 0.0))
-            a1v = jnp.sum(jnp.where(hit, a12d[...], 0.0))
+            # Validity gate: once every live candidate has been extracted,
+            # the remaining scores all equal the -1e30 sentinel and the
+            # argmax degenerates to entry (0, 0) — whose real slot/a0/a1
+            # would rerank to a finite score and emit DUPLICATE slots
+            # (every run right after index_ready hits this regime, buckets
+            # holding ~1 entry each). Force dead lanes' additive term to
+            # the sentinel so the rerank keeps them at -1e30 and the
+            # downstream hit mask filters them like in v2/v3.
+            live = m > -5e29
+            a0v = jnp.where(live, jnp.sum(jnp.where(hit, a02d[...], 0.0)),
+                            0.0)
+            a1v = jnp.where(live, jnp.sum(jnp.where(hit, a12d[...], 0.0)),
+                            -1e30)
             slot_col = jnp.where(sub == j, slot_i, slot_col)
             a0_col = jnp.where(sub == j, a0v, a0_col)
             a1_col = jnp.where(sub == j, a1v, a1_col)

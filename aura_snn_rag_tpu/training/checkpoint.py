@@ -69,7 +69,17 @@ class CheckpointManager:
         donation in the compiled train step (the runtime inserts full copies
         of params+optimizer), which OOMs a full-preset trainer on one chip
         even though the same program ran before the save. The host hop
-        reproduces cold-start device state exactly.
+        reproduces cold-start device state exactly. The orbax read happens
+        BEFORE the trainer's device state is released, so a failed restore
+        (missing/corrupt files, template mismatch) leaves the trainer's
+        initialized state intact. Note: the re-upload places arrays with
+        default single-device sharding — a sharded trainer must re-apply its
+        NamedShardings after restore (call Trainer.shard_to_mesh again).
+
+        via_host=False restores direct-to-device, which requires releasing
+        the initialized state first (both copies cannot be HBM-resident at
+        full preset); a failure on that path leaves the trainer needing
+        re-initialization, and the error says so.
         """
         step = step if step is not None else self.manager.latest_step()
         if step is None:
@@ -89,30 +99,42 @@ class CheckpointManager:
         # shape/dtype matter for restore, so strip values entirely.
         import jax
         import jax.numpy as jnp
+        init_opt_state = None if load_optimizer else trainer.state.opt_state
         if via_host:
             template = jax.tree.map(
                 lambda x: np.empty(jnp.shape(x), jnp.result_type(x)),
                 template)
+            # host-side restore: no device memory touched yet, so the
+            # trainer's initialized state survives any restore failure
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(template))
+            # Release the freshly-initialized device state BEFORE the
+            # upload: otherwise params+optimizer+bank are resident twice,
+            # which OOMs a full-preset trainer on one chip (and the leftover
+            # fragmentation can sink the first train step even when the
+            # restore itself survives).
+            trainer.state = None
+            trainer.hippocampus.state = None
+            # upload: fresh device arrays with default layouts (donatable)
+            restored = {
+                k: jax.tree.map(jnp.asarray, v) if k != "step" else v
+                for k, v in restored.items()}
         else:
             template = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(
                     jnp.shape(x), jnp.result_type(x)),
                 template)
-        # Release the freshly-initialized device state BEFORE materializing
-        # the restored copy: otherwise params+optimizer+bank are resident
-        # twice during restore, which OOMs a full-preset trainer on one chip
-        # (and the leftover fragmentation can sink the first train step even
-        # when the restore itself survives).
-        init_opt_state = None if load_optimizer else trainer.state.opt_state
-        trainer.state = None
-        trainer.hippocampus.state = None
-        restored = self.manager.restore(
-            step, args=ocp.args.StandardRestore(template))
-        if via_host:
-            # upload: fresh device arrays with default layouts (donatable)
-            restored = {
-                k: jax.tree.map(jnp.asarray, v) if k != "step" else v
-                for k, v in restored.items()}
+            trainer.state = None
+            trainer.hippocampus.state = None
+            try:
+                restored = self.manager.restore(
+                    step, args=ocp.args.StandardRestore(template))
+            except Exception as e:
+                raise RuntimeError(
+                    "direct-to-device checkpoint restore failed after the "
+                    "trainer's device state was released; re-create the "
+                    "Trainer (or retry with via_host=True, which is "
+                    "failure-safe)") from e
 
         meta_path = os.path.join(self.directory, f"meta_{step}.json")
         meta = {}

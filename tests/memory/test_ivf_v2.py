@@ -348,6 +348,20 @@ def test_retrieve_v3r_fewer_valid_than_funnel(monkeypatch):
     # no-hit lanes are -1 with zero score, not phantom slot-0 entries
     assert ((idx >= 0) | (sc == 0.0)).all()
     assert np.isfinite(sc).all()
+    # dead funnel lanes must NOT resurface as duplicates of a real slot
+    # (ADVICE r2 high: exhausted extraction re-picked entry (0,0) and the
+    # f32 rerank gave it a finite score)
+    for row in idx:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live), row
+    # full top-k must agree with the XLA IVF oracle (same probed buckets,
+    # exact rerank — brute force over ALL rows would also see unprobed
+    # buckets, which IVF approximates away by design at probe=4/16)
+    cfg_x = dataclasses.replace(cfg_r, use_pallas_ivf=False)
+    r_x = retrieve(cfg_x, state, q, None, 5)
+    np.testing.assert_array_equal(idx, np.asarray(r_x.indices))
+    np.testing.assert_allclose(sc, np.asarray(r_x.scores),
+                               rtol=2e-5, atol=2e-6)
 
 
 def test_overflow_annex_full_reachability(monkeypatch):
