@@ -94,7 +94,17 @@ class MemoryConfig:
     # chain writes+rereads ~0.5 GB per 128-query batch on top of the bank
     # read; bf16 halves that HBM traffic. Funnel-only precision — the
     # exact f32 rerank restores exactness on the survivors.
+    # (Only used by flat_strategy="scan".)
     flat_score_dtype: str = "f32"
+    # Flat-scan strategy: "blockmax" (default) streams the bank once
+    # through the Pallas block-max kernel (no [B, M] materialization,
+    # hierarchical EXACT funnel selection — see ops/pallas/flat_scan.py);
+    # "scan" is the original [B, M] + approx_max_k path (A/B reference).
+    flat_strategy: str = "blockmax"
+    # Number of 8-row blocks whose members get the exact f32 rerank in the
+    # blockmax path (funnel width = 8x this). 64 blocks = 512 reranked
+    # rows, provably containing the coarse top-k for any k <= 64.
+    flat_block_funnel: int = 64
 
     @property
     def bucket_capacity(self) -> int:
@@ -298,7 +308,12 @@ def get_full_config() -> AuraConfig:
              intermediate_size=3072, max_seq_len=512, n_place_cells=2000,
              use_rag=True, snn_layers=(0, 2, 4, 6, 8, 10)),
         dict(max_memories=100_000, feature_dim=768),
-        dict(batch_size=32, max_steps=50_000, warmup_steps=2000,
+        # batch_size 16, not the reference's 32: measured one-chip (v5e
+        # 16 GB) capacity is B=16 with remat + bf16 mu — B=32 OOMs even
+        # with the "dots" checkpoint policy (docs/TRAINING.md "Memory
+        # fitting"). Multi-chip runs scale batch via the mesh data axis
+        # instead of the per-chip micro-batch.
+        dict(batch_size=16, max_steps=50_000, warmup_steps=2000,
              memory_warmup_steps=5000),
     )
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from aura_snn_rag_tpu.config import MemoryConfig, ModelConfig
 from aura_snn_rag_tpu.memory import engine as memory_engine
 from aura_snn_rag_tpu.memory.state import MemoryState
-from aura_snn_rag_tpu.ops.neurons import gif_params, gif_scan
+from aura_snn_rag_tpu.ops.neurons import gif_params, gif_scan, gif_scan_const
 from aura_snn_rag_tpu.ops.place_cells import sparse_place_code
 from aura_snn_rag_tpu.ops.theta_gamma import theta_gamma_encoding, ThetaGammaParams
 
@@ -249,18 +249,21 @@ class SNNFFN(nn.Module):
         # bf16 resolution (~2^-7 near 1.0)
         gp = gif_params(levels=cfg.snn_levels, dtype=dt)
 
-        # [B, L, D] -> [B*L, T, D] (each token becomes a T-step current)
-        xt = jnp.broadcast_to(x[:, :, None, :], (B, L, T, D))
-        xt = xt.reshape(B * L, T, D)
-
-        h1 = Synapsis(cfg.intermediate_size, dtype=dt, name="syn1")(xt)
+        # The reference expands each token to T identical timestep currents
+        # BEFORE the stage-1 linears (snn_ffn.py:69-70), recomputing
+        # syn1/gif1_in T times on identical inputs. Running them once on
+        # [B*L, D] and scanning the constant current is mathematically
+        # identical and removes the T x redundant MXU work (the gif1_in
+        # F x F matmul is the single largest matmul in the layer).
+        xf = x.reshape(B * L, D)
+        h1 = Synapsis(cfg.intermediate_size, dtype=dt, name="syn1")(xf)
         # GIF input projection (gif_neuron.py:31 linear) then dynamics
         h1 = nn.Dense(cfg.intermediate_size, dtype=dt, name="gif1_in")(h1)
-        s1, _ = gif_scan(gp, h1.astype(dt))
+        s1, _ = gif_scan_const(gp, h1.astype(dt), T)
 
         h2 = Synapsis(cfg.embedding_dim, dtype=dt, name="syn2")(s1)
         h2 = nn.Dense(cfg.embedding_dim, dtype=dt, name="gif2_in")(h2)
-        s2, _ = gif_scan(gp, h2.astype(dt))
+        s2, _ = gif_scan(gp, h2.astype(dt), unroll=True)
 
         out = s2.astype(jnp.float32).mean(axis=1).reshape(B, L, D).astype(dt)
         if cfg.dropout > 0:

@@ -10,6 +10,7 @@ from aura_snn_rag_tpu.ops.neurons import (  # noqa: F401
     izhikevich_scan,
     adex_scan,
     gif_scan,
+    gif_scan_const,
     GIFParams,
     IzhikevichParams,
     AdExParams,

@@ -171,7 +171,8 @@ def gif_params(levels: int = 16, dt: float = 1.0, tau: float = 10.0,
 
 
 def gif_scan(params: GIFParams, currents: jax.Array,
-             state: Optional[Tuple[jax.Array, jax.Array]] = None
+             state: Optional[Tuple[jax.Array, jax.Array]] = None,
+             unroll: bool | int = 1
              ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Generalized-IF multi-bit spiking over [..., T, D] currents.
 
@@ -197,8 +198,46 @@ def gif_scan(params: GIFParams, currents: jax.Array,
         theta = theta + p.alpha * spk - p.alpha * (theta - p.threshold)
         return (v, theta), spk
 
-    (v, theta), spikes = jax.lax.scan(step, (v0, th0), x)
+    (v, theta), spikes = jax.lax.scan(step, (v0, th0), x, unroll=unroll)
     return jnp.moveaxis(spikes, 0, -2), (v, theta)
+
+
+def gif_scan_const(params: GIFParams, current: jax.Array, timesteps: int,
+                   state: Optional[Tuple[jax.Array, jax.Array]] = None
+                   ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """GIF dynamics over `timesteps` steps of a CONSTANT [..., D] current.
+
+    The reference's SNNFFN broadcasts each token to T identical timestep
+    currents before the synapse/input linears (snn_ffn.py:69-70), which
+    recomputes those matmuls T times for identical inputs. Running the
+    linears once and scanning the constant current is mathematically
+    identical (same matmul on the same values; only FMA-fusion-level
+    float differences) and removes the T x redundant MXU work — the
+    per-step state update is the only genuinely sequential part.
+
+    T is small (default 4), so the loop is fully unrolled: XLA fuses the
+    whole chain into one elementwise kernel that reads `current` once and
+    keeps v/theta in registers instead of round-tripping HBM per step.
+
+    Returns (spikes [..., T, D], (v, theta)).
+    """
+    p = params
+    if state is None:
+        v = jnp.zeros(current.shape, current.dtype)
+        theta = jnp.full(current.shape, p.threshold, current.dtype)
+    else:
+        v, theta = state
+
+    spikes = []
+    for _ in range(timesteps):
+        v = v * p.decay + current
+        clamp = p.levels * theta * 2.0
+        v = jnp.clip(v, -clamp, clamp)
+        spk = multi_bit_spike(v / (theta + 1e-6), p.levels)
+        v = v - spk * theta
+        theta = theta + p.alpha * spk - p.alpha * (theta - p.threshold)
+        spikes.append(spk)
+    return jnp.stack(spikes, axis=-2), (v, theta)
 
 
 def leaky_integrate(decay: jax.Array, x: jax.Array, axis: int = -2) -> jax.Array:

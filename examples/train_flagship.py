@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--mu-dtype", default="",
                     help="AdamW first-moment dtype override (e.g. bfloat16 "
                          "frees ~0.9 GB for B=32 on one v5e chip)")
+    ap.add_argument("--memory-warmup", type=int, default=-1,
+                    help="override memory_warmup_steps (0 = RAG live from "
+                         "step 0; useful for short throughput probes)")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +93,8 @@ def main():
         train_kw["batch_size"] = args.batch
     if args.mu_dtype:
         train_kw["optimizer_mu_dtype"] = args.mu_dtype
+    if args.memory_warmup >= 0:
+        train_kw["memory_warmup_steps"] = args.memory_warmup
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, **model_kw),
         training=dataclasses.replace(cfg.training, **train_kw))

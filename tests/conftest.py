@@ -44,3 +44,32 @@ def _seed_numpy():
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(42)
+
+
+# ---------------------------------------------------------------------------
+# Fast tier: `pytest -m fast` gates in ~3-4 min on the 1-CPU host, vs ~15 min
+# for the full suite (which exceeds single-command timeouts in CI-like
+# drivers). tests/_slow_tests.txt lists nodeids measured >= 5 s (call time,
+# --durations=0 run); everything else is marked fast. A new test is fast by
+# default until a durations run promotes it to the list.
+# ---------------------------------------------------------------------------
+
+def _load_slow_ids():
+    import pathlib
+    p = pathlib.Path(__file__).parent / "_slow_tests.txt"
+    if not p.exists():
+        return frozenset()
+    return frozenset(line.strip() for line in p.read_text().splitlines()
+                     if line.strip())
+
+
+_SLOW_IDS = _load_slow_ids()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
