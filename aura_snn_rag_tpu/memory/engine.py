@@ -508,13 +508,35 @@ def retrieve_flat(config: MemoryConfig, state: MemoryState,
                   queries: jax.Array,
                   query_locations: Optional[jax.Array] = None,
                   k: int = 5) -> RetrievalResult:
-    """Batched flat scan: one [M, D]·[D, B] bf16 matmul over the whole bank.
+    """Batched flat scan over the whole bank (bandwidth-optimal for large B).
 
-    For batched queries this is bandwidth-OPTIMAL: the 1-pass bank read is
-    amortized across the batch (per-query IVF gathers are not), the MXU does
-    the scoring, and recall is ~exact. Roofline: ~M·D·2 bytes per batch
-    regardless of B. Use when B ≳ M / (probe·C); `retrieve_auto` dispatches.
-    Same coarse→exact-f32-rerank funnel as the IVF path.
+    Two strategies (config.flat_strategy):
+
+    - "blockmax" (default): streaming Pallas kernel that never
+      materializes [B, M] — per-R-row block maxima come back from one
+      fused scan pass, a hierarchical exact top-k picks the winning
+      blocks, and their member rows get the exact f32 rerank. The
+      block-max funnel provably contains the coarse top-k (only k-1
+      elements can beat the k-th best, so its block max ranks <= k).
+      Falls back to the same math in XLA on CPU / with query locations.
+    - "scan": the original XLA path — [B, M] coarse scores +
+      `approx_max_k` funnel (kept for A/B and as reference math).
+    """
+    if config.flat_strategy == "blockmax":
+        return _retrieve_flat_blockmax(config, state, queries,
+                                       query_locations, k)
+    return _retrieve_flat_scan(config, state, queries, query_locations, k)
+
+
+def _retrieve_flat_scan(config: MemoryConfig, state: MemoryState,
+                        queries: jax.Array,
+                        query_locations: Optional[jax.Array],
+                        k: int) -> RetrievalResult:
+    """Original flat scan: one [M, D]·[D, B] matmul, [B, M] materialized.
+
+    Roofline: ~M·D bytes bank read per batch plus the [B, M] score
+    write+reread; `approx_max_k` (recall 0.95) funnels into the exact f32
+    rerank. Same coarse→exact-f32-rerank funnel as the IVF path.
     """
     M = state.max_memories
     qn = _l2norm(queries)                                        # [B, D]
@@ -559,6 +581,140 @@ def retrieve_flat(config: MemoryConfig, state: MemoryState,
 
     scores, pick2 = jax.lax.top_k(exact, k)
     out_slots = jnp.take_along_axis(pick, pick2, axis=1).astype(jnp.int32)
+    hit = scores > NEG_INF / 2
+    out_slots = jnp.where(hit, out_slots, -1)
+    feats = jnp.take_along_axis(cand_feats, pick2[..., None], axis=1)
+    feats = jnp.where(hit[..., None], feats, 0.0)
+    return RetrievalResult(out_slots, jnp.where(hit, scores, 0.0), feats)
+
+
+def _flat_kernel_ok(config: MemoryConfig, state: MemoryState,
+                    query_locations) -> bool:
+    """The streaming kernel handles the no-spatial case (bench/serving
+    path); spatial scoring needs per-query location math in the pass and
+    falls back to the XLA block-max variant."""
+    if query_locations is not None:
+        return False
+    if state.feature_dim % 128 != 0:
+        return False
+    try:
+        from aura_snn_rag_tpu.ops.pallas.flat_scan import pallas_available
+        return pallas_available()
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
+                            queries: jax.Array,
+                            query_locations: Optional[jax.Array],
+                            k: int) -> RetrievalResult:
+    """Flat scan via the streaming block-max funnel (no [B, M] anywhere).
+
+    1. Block maxima of the combined coarse score, [B, M/R] — from the
+       Pallas one-pass kernel (ops/pallas/flat_scan.py) or the same math
+       in XLA (CPU / spatial queries).
+    2. Hierarchical EXACT selection of the top `flat_block_funnel` blocks:
+       super-block maxima (xR2) -> exact top_k over ~M/(R·R2) -> expand ->
+       exact top_k over block maxima. Both levels preserve the containment
+       guarantee (a top-j block's super-max ranks <= j), so unlike
+       `approx_max_k` there is NO recall slack before the rerank.
+    3. Exact f32 rerank of the winning blocks' member rows (funnel width
+       flat_block_funnel*R rows >= the old 128, with provable coarse
+       containment).
+    """
+    from aura_snn_rag_tpu.ops.pallas.flat_scan import (
+        BLOCK_R, default_interpret, flat_blockmax)
+
+    M = state.max_memories
+    qn = _l2norm(queries)                                        # [B, D]
+    B = qn.shape[0]
+    R = BLOCK_R
+
+    ages = (state.step - state.timestamp) * config.seconds_per_step
+    temporal = jnp.exp(-jnp.maximum(ages, 0.0) / config.temporal_tau)
+    active = jnp.arange(M) < state.active_count()
+    mul = jnp.where(active, config.w_cosine * state.strength, 0.0)
+    add = jnp.where(active,
+                    config.w_temporal * temporal * state.strength, NEG_INF)
+
+    if _flat_kernel_ok(config, state, query_locations):
+        # The kernel only selects funnel CANDIDATES (indices) — grads flow
+        # through the exact rerank einsum on qn below, never through the
+        # coarse scan. stop_gradient makes that explicit and keeps JAX
+        # from attempting a (unsupported) JVP of the pallas_call when the
+        # queries carry tangents (e.g. in-train-step retrieval).
+        qsg = jax.lax.stop_gradient(qn)
+        Bp = max(128, ((B + 127) // 128) * 128)
+        qc = _to_coarse(qsg, state.features_nb16.dtype)          # [B, D]
+        qT = jnp.pad(qc.T, ((0, 0), (0, Bp - B)))                # [D, Bp]
+        bm = flat_blockmax(state.features_nb16, qT,
+                           jax.lax.stop_gradient(
+                               mul[:, None].astype(jnp.float32)),
+                           jax.lax.stop_gradient(
+                               add[:, None].astype(jnp.float32)),
+                           interpret=default_interpret())
+        bm = bm[:, :B].T                                         # [B, Nblk]
+    else:
+        cos = _coarse_cos(state.features_nb16, qn)               # [B, M]
+        combined = cos * mul[None, :] + add[None, :]
+        if query_locations is not None:
+            d = jnp.sqrt(jnp.sum(
+                (state.locations[None] - query_locations[:, None]) ** 2,
+                axis=-1) + 1e-12)
+            spatial = (config.w_spatial / (1.0 + d)) \
+                * state.strength[None, :]
+            combined = combined + jnp.where(active[None, :], spatial, 0.0)
+        pad = (-M) % R
+        if pad:
+            combined = jnp.pad(combined, ((0, 0), (0, pad)),
+                               constant_values=NEG_INF)
+        bm = combined.reshape(B, -1, R).max(axis=-1)             # [B, Nblk]
+
+    n_blocks = bm.shape[1]
+    kk_b = min(max(config.flat_block_funnel, k), n_blocks)
+
+    # hierarchical exact select: super-blocks shrink the sort surface 16x
+    R2 = 16
+    if n_blocks > 4 * R2 * kk_b:
+        spad = (-n_blocks) % R2
+        sup = jnp.pad(bm, ((0, 0), (0, spad)), constant_values=NEG_INF) \
+            .reshape(B, -1, R2).max(axis=-1)                     # [B, Nsup]
+        kk_s = min(max(kk_b, 2 * k), sup.shape[1])
+        _, sup_pick = jax.lax.top_k(sup, kk_s)                   # exact
+        blk_ids = (sup_pick[..., None] * R2
+                   + jnp.arange(R2)[None, None, :]).reshape(B, -1)
+        # ids past n_blocks (padded super-block tail) clamp to the last
+        # block; their value is forced to NEG_INF so the clamp can never
+        # surface a real block twice with a finite score
+        in_range = blk_ids < n_blocks
+        blk_ids = jnp.minimum(blk_ids, n_blocks - 1)
+        blk_vals = jnp.where(in_range,
+                             jnp.take_along_axis(bm, blk_ids, axis=1),
+                             NEG_INF)
+        _, p2 = jax.lax.top_k(blk_vals, kk_b)                    # exact
+        blocks = jnp.take_along_axis(blk_ids, p2, axis=1)        # [B, kk_b]
+        block_live = jnp.take_along_axis(blk_vals, p2, axis=1) > NEG_INF / 2
+    else:
+        bvals, blocks = jax.lax.top_k(bm, kk_b)
+        block_live = bvals > NEG_INF / 2
+
+    cand_slots = (blocks[..., None] * R
+                  + jnp.arange(R)[None, None, :]).reshape(B, kk_b * R)
+    cand_valid = (cand_slots < state.active_count()) \
+        & jnp.repeat(block_live, R, axis=1)
+    cand_slots = jnp.minimum(cand_slots, M - 1)
+
+    cand_feats = state.features[cand_slots]                  # [B, kk_b*R, D]
+    exact_cos = jnp.einsum(
+        "bkd,bd->bk", _l2norm(cand_feats.astype(jnp.float32)), qn,
+        precision=jax.lax.Precision.HIGHEST)
+    exact = _combined_score(config, state, exact_cos, cand_slots,
+                            query_locations)
+    exact = jnp.where(cand_valid, exact, NEG_INF)
+
+    scores, pick2 = jax.lax.top_k(exact, k)
+    out_slots = jnp.take_along_axis(cand_slots, pick2, axis=1) \
+        .astype(jnp.int32)
     hit = scores > NEG_INF / 2
     out_slots = jnp.where(hit, out_slots, -1)
     feats = jnp.take_along_axis(cand_feats, pick2[..., None], axis=1)
@@ -618,9 +774,10 @@ def tick(state: MemoryState, steps: float = 1.0) -> MemoryState:
 # REBUILD — batched k-means + bucketed layout construction
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
 def rebuild_centroids(config: MemoryConfig, state: MemoryState,
-                      key: jax.Array) -> MemoryState:
+                      key: jax.Array,
+                      unrolled_spill: bool = False) -> MemoryState:
     """Full index rebuild (hippocampal.py:345-377, vectorized).
 
     sample-k init → `rebuild_lloyd_iters` Lloyd iterations (assignment by one
@@ -716,11 +873,20 @@ def rebuild_centroids(config: MemoryConfig, state: MemoryState,
         overflow = (rank >= C) & (a < K)
         return jnp.where(overflow & (choice < S - 1), choice + 1, choice)
 
-    # unrolled (S is a small static; a lax.scan carry trips shard_map's
-    # varying-axes typing when the rebuild runs per-shard)
+    # One spill round costs two 1M-row argsorts; unrolling S-1 = 8 of them
+    # multiplied the rebuild's HLO by ~8x and sent the cold remote compile
+    # from ~3 min to ~20 (BENCH_r02 index_build_cold_s regression). The
+    # default is a lax.scan (one round in the HLO, compile-time O(1) in
+    # spill_rounds); shard_map callers pass unrolled_spill=True because a
+    # scan carry trips shard_map's varying-axes typing when the rebuild
+    # runs per-shard.
     choice = jnp.zeros((M,), jnp.int32)
-    for _ in range(S - 1):
-        choice = spill_round(choice)
+    if unrolled_spill:
+        for _ in range(S - 1):
+            choice = spill_round(choice)
+    else:
+        choice, _ = jax.lax.scan(
+            lambda c, _: (spill_round(c), None), choice, None, length=S - 1)
     assign = jnp.where(active, idxS[rows, choice], K)
     d1 = distS[rows, choice]                      # distance to final home
     counts = jax.ops.segment_sum(

@@ -97,8 +97,10 @@ def rebuild_centroids_sharded(config: MemoryConfig, mesh: Mesh,
     keys = jax.random.split(key, n)
 
     def local_rebuild(st, k):
+        # unrolled_spill: a lax.scan carry trips shard_map's varying-axes
+        # typing, so the per-shard rebuild keeps the unrolled spill loop
         return _unsqueeze(engine.rebuild_centroids.__wrapped__(
-            config, _squeeze(st), k[0]))
+            config, _squeeze(st), k[0], True))
 
     fn = jax.shard_map(
         local_rebuild, mesh=mesh,

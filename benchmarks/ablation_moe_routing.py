@@ -1,0 +1,136 @@
+"""Ablation study: MoE routing with prosody — 4 incremental configs.
+
+Parity with `/root/reference/benchmarks/ablation_moe_routing.py:1` (the
+routing study that justifies the liquid router's design): does the prosody
+signal survive the load-balancing machinery?
+
+Configurations (reference :242-265):
+  1. clean          — no bandit, no usage bias (pure prosody signal)
+  2. usage bias     — load-balancing pressure (usage_beta = 0.5)
+  3. bandit         — UCB exploration
+  4. full system    — both
+
+For each config, two text regimes (low vs high prosody salience) drive
+the prosody bridge; the attention gain scales the router temperature
+(liquid_moe.py:67: temp = T / gain — higher gain → colder routing). The
+study records mean routing entropy per regime and the per-sample
+correlation between gain and entropy. PASS criterion (reference :291-297):
+low-prosody entropy > high-prosody entropy AND corr(gain, entropy) < -0.3.
+
+    python benchmarks/ablation_moe_routing.py
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LOW_PROSODY_TEXTS = [
+    "the report covers the second quarter and was filed on tuesday",
+    "the bus arrives at quarter past and then it is a short walk",
+    "the recipe calls for two eggs and a cup of milk",
+    "classes resume on the ninth according to the schedule",
+    "the store closes at nine on weekdays and six on sundays",
+]
+
+HIGH_PROSODY_TEXTS = [
+    "WOW this is absolutely INCREDIBLE I cannot believe it!!",
+    "NO WAY they actually WON the entire championship!!",
+    "this is URGENT drop everything and CALL me NOW!!",
+    "I am SO EXCITED the tickets finally ARRIVED today!!",
+    "STOP that is the most AMAZING thing I have EVER seen!!",
+]
+
+
+def _token_ids(text):
+    # the reference study feeds POSITIONAL ids (`list(range(len(tokens)))`,
+    # ablation_moe_routing.py:179-180) into the trig-hash prosody channels,
+    # so the regime signal rides sequence length/position — mirror that
+    return np.arange(len(text.split()), dtype=np.int32)
+
+
+def run_config(name, use_bandit, usage_beta, n_samples=100, seed=0):
+    from aura_snn_rag_tpu.models.brain.liquid_moe import (
+        BanditGating, LiquidMoERouter)
+    from aura_snn_rag_tpu.models.prosody import prosody_attention_gains
+
+    rng = np.random.RandomState(seed)
+    E, D = 8, 32
+    router = LiquidMoERouter(hidden_dim=64, num_experts=E, top_k=2)
+    params = router.init(jax.random.PRNGKey(0), jnp.zeros((1, D)))
+    bandit = BanditGating(E) if use_bandit else None
+    usage_ma = np.zeros(E)
+
+    results = {"low": [], "high": []}
+    gains_all, ents_all = [], []
+    for regime, texts in (("low", LOW_PROSODY_TEXTS),
+                          ("high", HIGH_PROSODY_TEXTS)):
+        for _ in range(n_samples):
+            text = texts[rng.randint(len(texts))]
+            ids = jnp.asarray(_token_ids(text)[None, :])
+            gains, _ = prosody_attention_gains(ids)
+            gain = float(np.asarray(gains).mean())
+            x = jnp.asarray(rng.randn(1, D).astype(np.float32))
+            out = router.apply(params, x,
+                               attn_gain=jnp.asarray([gain]))
+            probs = np.asarray(out["probs"][0], np.float64)
+
+            # usage-bias pressure (reference :84-90): subtract beta *
+            # usage moving-average from the routing distribution
+            if usage_beta > 0:
+                logits = np.log(probs + 1e-9) - usage_beta * usage_ma
+                probs = np.exp(logits - logits.max())
+                probs /= probs.sum()
+            # bandit blending (reference :92-104): renormalize the top-k
+            # by UCB score mass
+            if bandit is not None:
+                top, gates = bandit.select_top_k(2, probs)
+                probs = gates / gates.sum()
+                bandit.update(top[0], error=rng.rand() * 5)
+
+            usage_ma = 0.99 * usage_ma + 0.01 * probs
+            ent = float(-(probs * np.log(probs + 1e-9)).sum())
+            results[regime].append(ent)
+            gains_all.append(gain)
+            ents_all.append(ent)
+
+    low_e = float(np.mean(results["low"]))
+    high_e = float(np.mean(results["high"]))
+    corr = float(np.corrcoef(gains_all, ents_all)[0, 1])
+    status = ("PASS" if (low_e > high_e and corr < -0.3)
+              else "WEAK" if low_e > high_e else "FAIL")
+    return {"config": name, "use_bandit": use_bandit,
+            "usage_beta": usage_beta,
+            "low_entropy": round(low_e, 4),
+            "high_entropy": round(high_e, 4),
+            "gain_entropy_corr": round(corr, 4),
+            "status": status}
+
+
+def main():
+    configs = [
+        ("clean_baseline", False, 0.0),
+        ("usage_bias_only", False, 0.5),
+        ("bandit_only", True, 0.0),
+        ("full_system", True, 0.5),
+    ]
+    rows = [run_config(n, b, u) for n, b, u in configs]
+    baseline, full = rows[0], rows[-1]
+    summary = {
+        "rows": rows,
+        "baseline_corr": baseline["gain_entropy_corr"],
+        "full_corr": full["gain_entropy_corr"],
+        "corr_degradation": round(
+            full["gain_entropy_corr"] - baseline["gain_entropy_corr"], 4),
+        "prosody_signal_survives": abs(full["gain_entropy_corr"]) > 0.3,
+    }
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
