@@ -604,6 +604,57 @@ def _flat_kernel_ok(config: MemoryConfig, state: MemoryState,
         return False
 
 
+def select_block_candidates(bm: jax.Array, funnel_blocks: int, k: int,
+                            active_count, M: int, R: int):
+    """Expand the top blocks of a block-max surface into candidate slots.
+
+    bm: [B, n_blocks] per-block maxima of the coarse combined score
+    (dead/padded blocks = NEG_INF). Returns (cand_slots [B, F],
+    cand_valid [B, F]) with F = min(max(funnel_blocks, k), n_blocks)·R.
+
+    Hierarchical EXACT selection: super-block maxima (xR2) -> exact top_k
+    over ~n_blocks/R2 -> expand -> exact top_k over block maxima. Both
+    levels preserve the containment guarantee (a top-j block's super-max
+    ranks <= j), so unlike `approx_max_k` there is NO recall slack before
+    the caller's exact rerank. Shared by the flat blockmax path and the
+    host-spilled bank (memory/host_spill.py).
+    """
+    B, n_blocks = bm.shape
+    kk_b = min(max(funnel_blocks, k), n_blocks)
+
+    # hierarchical exact select: super-blocks shrink the sort surface 16x
+    R2 = 16
+    if n_blocks > 4 * R2 * kk_b:
+        spad = (-n_blocks) % R2
+        sup = jnp.pad(bm, ((0, 0), (0, spad)), constant_values=NEG_INF) \
+            .reshape(B, -1, R2).max(axis=-1)                     # [B, Nsup]
+        kk_s = min(max(kk_b, 2 * k), sup.shape[1])
+        _, sup_pick = jax.lax.top_k(sup, kk_s)                   # exact
+        blk_ids = (sup_pick[..., None] * R2
+                   + jnp.arange(R2)[None, None, :]).reshape(B, -1)
+        # ids past n_blocks (padded super-block tail) clamp to the last
+        # block; their value is forced to NEG_INF so the clamp can never
+        # surface a real block twice with a finite score
+        in_range = blk_ids < n_blocks
+        blk_ids = jnp.minimum(blk_ids, n_blocks - 1)
+        blk_vals = jnp.where(in_range,
+                             jnp.take_along_axis(bm, blk_ids, axis=1),
+                             NEG_INF)
+        _, p2 = jax.lax.top_k(blk_vals, kk_b)                    # exact
+        blocks = jnp.take_along_axis(blk_ids, p2, axis=1)        # [B, kk_b]
+        block_live = jnp.take_along_axis(blk_vals, p2, axis=1) > NEG_INF / 2
+    else:
+        bvals, blocks = jax.lax.top_k(bm, kk_b)
+        block_live = bvals > NEG_INF / 2
+
+    cand_slots = (blocks[..., None] * R
+                  + jnp.arange(R)[None, None, :]).reshape(B, kk_b * R)
+    cand_valid = (cand_slots < active_count) \
+        & jnp.repeat(block_live, R, axis=1)
+    cand_slots = jnp.minimum(cand_slots, M - 1)
+    return cand_slots, cand_valid
+
+
 def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
                             queries: jax.Array,
                             query_locations: Optional[jax.Array],
@@ -670,39 +721,8 @@ def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
                                constant_values=NEG_INF)
         bm = combined.reshape(B, -1, R).max(axis=-1)             # [B, Nblk]
 
-    n_blocks = bm.shape[1]
-    kk_b = min(max(config.flat_block_funnel, k), n_blocks)
-
-    # hierarchical exact select: super-blocks shrink the sort surface 16x
-    R2 = 16
-    if n_blocks > 4 * R2 * kk_b:
-        spad = (-n_blocks) % R2
-        sup = jnp.pad(bm, ((0, 0), (0, spad)), constant_values=NEG_INF) \
-            .reshape(B, -1, R2).max(axis=-1)                     # [B, Nsup]
-        kk_s = min(max(kk_b, 2 * k), sup.shape[1])
-        _, sup_pick = jax.lax.top_k(sup, kk_s)                   # exact
-        blk_ids = (sup_pick[..., None] * R2
-                   + jnp.arange(R2)[None, None, :]).reshape(B, -1)
-        # ids past n_blocks (padded super-block tail) clamp to the last
-        # block; their value is forced to NEG_INF so the clamp can never
-        # surface a real block twice with a finite score
-        in_range = blk_ids < n_blocks
-        blk_ids = jnp.minimum(blk_ids, n_blocks - 1)
-        blk_vals = jnp.where(in_range,
-                             jnp.take_along_axis(bm, blk_ids, axis=1),
-                             NEG_INF)
-        _, p2 = jax.lax.top_k(blk_vals, kk_b)                    # exact
-        blocks = jnp.take_along_axis(blk_ids, p2, axis=1)        # [B, kk_b]
-        block_live = jnp.take_along_axis(blk_vals, p2, axis=1) > NEG_INF / 2
-    else:
-        bvals, blocks = jax.lax.top_k(bm, kk_b)
-        block_live = bvals > NEG_INF / 2
-
-    cand_slots = (blocks[..., None] * R
-                  + jnp.arange(R)[None, None, :]).reshape(B, kk_b * R)
-    cand_valid = (cand_slots < state.active_count()) \
-        & jnp.repeat(block_live, R, axis=1)
-    cand_slots = jnp.minimum(cand_slots, M - 1)
+    cand_slots, cand_valid = select_block_candidates(
+        bm, config.flat_block_funnel, k, state.active_count(), M, R)
 
     cand_feats = state.features[cand_slots]                  # [B, kk_b*R, D]
     exact_cos = jnp.einsum(

@@ -1,0 +1,299 @@
+"""Host-spilled episodic bank: capacity beyond one chip's HBM.
+
+The reference's acknowledged scaling ceiling is its O(n^2) cognitive map and
+a 100k-row GPU-resident bank (/root/reference/README.md:39, TODO.md:12,
+src/core/hippocampal.py:47). This module scales the episodic store to
+O(100M) rows on one chip by splitting the bank across the memory hierarchy:
+
+- DEVICE (HBM): int8 coarse rows ``[M, D]`` (127-scaled, L2-normalized) plus
+  per-row scoring metadata (strength, timestamp). 10M x 768 int8 = 7.2 GiB —
+  fits a v5e's 16 GiB; the one-pass ``flat_blockmax`` Pallas kernel scans it
+  at HBM speed with no ``[B, M]`` materialization.
+- HOST (RAM): exact f32 rows ``[M, D]`` (+ locations). 10M x 768 f32 =
+  28.6 GiB — host RAM, never uploaded after ingest.
+
+A query is a two-phase funnel:
+
+1. device coarse scan (``flat_blockmax`` -> ``select_block_candidates``,
+   the provable-containment block funnel) -> ``[B, F]`` candidate slots
+   with their affine metadata terms;
+2. host gathers ONLY the funnel rows (F = funnel_blocks*8 per query, block-
+   contiguous so the gather is sequential) and runs the exact f32 rerank
+   (cosine at full precision + spatial/temporal terms) in numpy.
+
+This deliberately inverts the naive "clusters on host RAM, DMA probed
+blocks to device" layout: with the coarse bank resident in HBM, steady-state
+interconnect traffic is ``[B, F]`` slot ids downstream and nothing upstream —
+the 30 GB exact store never crosses the host<->device link. (If M outgrows
+HBM even at int8, the same funnel math applies with a bucketed coarse store
+streamed per-probe; see docs/SCALING.md.)
+
+``retrieve_stream`` pipelines query batches: JAX dispatch is async, so all
+device funnels are in flight before the first host rerank runs — TPU scan
+overlaps host gather with no explicit threads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aura_snn_rag_tpu.config import MemoryConfig
+from aura_snn_rag_tpu.memory.engine import (
+    NEG_INF, RetrievalResult, _to_coarse, select_block_candidates)
+
+
+class SpillDeviceState(NamedTuple):
+    """Device-resident half of the spilled bank (coarse rows + metadata)."""
+
+    coarse: jax.Array     # [M, D] int8 (127-scaled) or bf16, L2-normalized
+    strength: jax.Array   # [M] f32 decayable strength
+    timestamp: jax.Array  # [M] f32 logical write step
+
+    @property
+    def max_memories(self) -> int:
+        return self.coarse.shape[0]
+
+
+def _init_device(M: int, D: int, coarse_dtype) -> SpillDeviceState:
+    return SpillDeviceState(
+        coarse=jnp.zeros((M, D), coarse_dtype),
+        strength=jnp.zeros((M,), jnp.float32),
+        timestamp=jnp.zeros((M,), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _device_write(dev: SpillDeviceState, slots: jax.Array,
+                  rows: jax.Array, step: jax.Array) -> SpillDeviceState:
+    """Scatter pre-quantized coarse rows into the bank (donated, in-place).
+
+    Quantization happens host-side (`_host_coarse`) so a bulk ingest
+    uploads int8 — 4x less interconnect traffic than shipping f32 and
+    quantizing on device."""
+    return dev._replace(
+        coarse=dev.coarse.at[slots].set(rows),
+        strength=dev.strength.at[slots].set(1.0),
+        timestamp=dev.timestamp.at[slots].set(step),
+    )
+
+
+def _host_coarse(feats: np.ndarray, dtype) -> np.ndarray:
+    """numpy mirror of engine._to_coarse on L2-normalized rows."""
+    qn = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
+    if dtype == jnp.int8:
+        return np.clip(np.round(qn * 127.0), -127, 127).astype(np.int8)
+    return jnp.asarray(qn).astype(dtype)  # bf16 via jnp (numpy lacks bf16)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _device_decay(dev: SpillDeviceState, rate: jax.Array) -> SpillDeviceState:
+    return dev._replace(strength=dev.strength * (1.0 - rate))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("funnel_blocks", "k", "w_cosine",
+                                    "w_temporal", "temporal_tau",
+                                    "seconds_per_step", "use_kernel"))
+def _device_funnel(dev: SpillDeviceState, qT: jax.Array,
+                   active_count: jax.Array, step: jax.Array, *,
+                   funnel_blocks: int, k: int, w_cosine: float,
+                   w_temporal: float, temporal_tau: float,
+                   seconds_per_step: float, use_kernel: bool):
+    """Phase 1 on device: coarse scan -> funnel candidate slots + metadata.
+
+    qT: [D, Bp] coarse-dtype queries, pre-transposed, Bp a multiple of 128
+    (kernel path) — the caller slices the true B back out.
+    Returns (cand_slots [Bp, F] i32, strength_c [Bp, F] f32,
+    add_c [Bp, F] f32) where add_c is the temporal additive term with
+    NEG_INF marking dead/invalid candidates. Host rerank computes
+    ``w_cosine * strength_c * cos_f32 + add_c`` (+ optional spatial).
+    """
+    from aura_snn_rag_tpu.ops.pallas.flat_scan import (
+        BLOCK_R, default_interpret, flat_blockmax)
+
+    M = dev.max_memories
+    R = BLOCK_R
+    ages = (step - dev.timestamp) * seconds_per_step
+    temporal = jnp.exp(-jnp.maximum(ages, 0.0) / temporal_tau)
+    active = jnp.arange(M) < active_count
+    mul = jnp.where(active, w_cosine * dev.strength, 0.0)
+    add = jnp.where(active, w_temporal * temporal * dev.strength, NEG_INF)
+
+    if use_kernel:
+        bm = flat_blockmax(dev.coarse, qT,
+                           mul[:, None].astype(jnp.float32),
+                           add[:, None].astype(jnp.float32),
+                           interpret=default_interpret())
+        bm = bm.T                                            # [Bp, Nblk]
+    else:  # XLA fallback (CPU tests): same math, [Bp, M] materialized
+        if dev.coarse.dtype == jnp.int8:
+            acc = jnp.einsum("md,db->bm", dev.coarse, qT,
+                             preferred_element_type=jnp.int32)
+            cos = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+        else:
+            cos = jnp.einsum("md,db->bm", dev.coarse,
+                             qT).astype(jnp.float32)
+        combined = cos * mul[None, :] + add[None, :]
+        pad = (-M) % R
+        if pad:
+            combined = jnp.pad(combined, ((0, 0), (0, pad)),
+                               constant_values=NEG_INF)
+        bm = combined.reshape(combined.shape[0], -1, R).max(axis=-1)
+
+    cand_slots, cand_valid = select_block_candidates(
+        bm, funnel_blocks, k, active_count, M, R)
+    strength_c = dev.strength[cand_slots]
+    add_c = jnp.where(cand_valid, add[cand_slots], NEG_INF)
+    return cand_slots.astype(jnp.int32), strength_c, add_c
+
+
+class SpilledBank:
+    """Host orchestrator for the spilled bank (mutable at the API edge,
+    like `hippocampus.HippocampalFormation` — all device math is jitted
+    pure functions on the `SpillDeviceState` pytree)."""
+
+    def __init__(self, config: MemoryConfig, device=None):
+        self.config = config
+        M, D = config.max_memories, config.feature_dim
+        coarse_dtype = (jnp.int8 if config.coarse_dtype == "int8"
+                        else jnp.bfloat16)
+        self.dev = _init_device(M, D, coarse_dtype)
+        if device is not None:
+            self.dev = jax.device_put(self.dev, device)
+        # host half: exact rows + locations (plain RAM, no device copy)
+        self.host_features = np.zeros((M, D), np.float32)
+        self.host_locations = np.zeros((M, config.spatial_dims), np.float32)
+        self.count = 0          # total writes ever (ring cursor = count % M)
+        self.step = 0.0         # logical clock
+
+    # -- writes ------------------------------------------------------------
+
+    def write(self, features: np.ndarray,
+              locations: Optional[np.ndarray] = None) -> np.ndarray:
+        """FIFO batch write (reference one-shot semantics,
+        hippocampal.py:195-243). Returns the bank slots written."""
+        feats = np.ascontiguousarray(features, np.float32)
+        B = feats.shape[0]
+        M = self.config.max_memories
+        slots = (self.count + np.arange(B)) % M
+        # a batch larger than the bank: only the last M rows survive
+        if B > M:
+            feats, slots = feats[-M:], slots[-M:]
+            if locations is not None:
+                locations = locations[-M:]
+            B = M
+        self.host_features[slots] = feats
+        if locations is not None:
+            self.host_locations[slots] = np.asarray(locations, np.float32)
+        else:
+            self.host_locations[slots] = 0.0
+        rows = _host_coarse(feats, self.dev.coarse.dtype)
+        self.dev = _device_write(self.dev, jnp.asarray(slots, jnp.int32),
+                                 jnp.asarray(rows), jnp.float32(self.step))
+        self.count += B
+        return slots
+
+    def bulk_load_chunked(self, make_chunk, n_rows: int,
+                          chunk: int = 262_144) -> None:
+        """Ingest n_rows via a callable chunk factory (avoids ever holding
+        the full f32 bank twice on host)."""
+        done = 0
+        while done < n_rows:
+            b = min(chunk, n_rows - done)
+            self.write(make_chunk(done, b))
+            done += b
+
+    # -- maintenance --------------------------------------------------------
+
+    def decay(self, rate: float = 0.01) -> None:
+        self.dev = _device_decay(self.dev, jnp.float32(rate))
+
+    def tick(self, steps: float = 1.0) -> None:
+        self.step += steps
+
+    @property
+    def active_count(self) -> int:
+        return min(self.count, self.config.max_memories)
+
+    # -- retrieval -----------------------------------------------------------
+
+    def _prep_queries(self, queries: np.ndarray):
+        q = np.asarray(queries, np.float32)
+        qn = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        B = qn.shape[0]
+        use_kernel = self._kernel_ok()
+        Bp = max(128, -(-B // 128) * 128) if use_kernel else B
+        qc = np.asarray(
+            _to_coarse(jnp.asarray(qn), self.dev.coarse.dtype))
+        qT = np.zeros((qc.shape[1], Bp), qc.dtype)
+        qT[:, :B] = qc.T
+        return qn, jnp.asarray(qT), B, use_kernel
+
+    def _kernel_ok(self) -> bool:
+        if self.config.feature_dim % 128 != 0:
+            return False
+        from aura_snn_rag_tpu.ops.pallas.flat_scan import pallas_available
+        return pallas_available()
+
+    def _dispatch_funnel(self, queries: np.ndarray):
+        qn, qT, B, use_kernel = self._prep_queries(queries)
+        cfg = self.config
+        out = _device_funnel(
+            self.dev, qT, jnp.int32(self.active_count),
+            jnp.float32(self.step),
+            funnel_blocks=cfg.flat_block_funnel, k=cfg.retrieve_k,
+            w_cosine=cfg.w_cosine, w_temporal=cfg.w_temporal,
+            temporal_tau=cfg.temporal_tau,
+            seconds_per_step=cfg.seconds_per_step, use_kernel=use_kernel)
+        return qn, B, out
+
+    def _host_rerank(self, qn: np.ndarray, B: int, funnel, k: int,
+                     query_locations: Optional[np.ndarray]):
+        cand_slots, strength_c, add_c = (np.asarray(x)[:B] for x in funnel)
+        cfg = self.config
+        rows = self.host_features[cand_slots]            # [B, F, D] gather
+        rn = rows / (np.linalg.norm(rows, axis=-1, keepdims=True) + 1e-12)
+        cos = np.einsum("bfd,bd->bf", rn, qn, dtype=np.float32)
+        score = cfg.w_cosine * strength_c * cos + add_c
+        if query_locations is not None:
+            d = np.sqrt(np.sum(
+                (self.host_locations[cand_slots]
+                 - np.asarray(query_locations, np.float32)[:, None]) ** 2,
+                axis=-1) + 1e-12)
+            score = score + np.where(
+                add_c > NEG_INF / 2,
+                cfg.w_spatial / (1.0 + d) * strength_c, 0.0)
+        # exact top-k over the funnel (argpartition + order)
+        kk = min(k, score.shape[1])
+        part = np.argpartition(-score, kk - 1, axis=1)[:, :kk]
+        vals = np.take_along_axis(score, part, axis=1)
+        order = np.argsort(-vals, axis=1)
+        pick = np.take_along_axis(part, order, axis=1)
+        scores = np.take_along_axis(score, pick, axis=1)
+        slots = np.take_along_axis(cand_slots, pick, axis=1).astype(np.int64)
+        hit = scores > NEG_INF / 2
+        slots = np.where(hit, slots, -1)
+        feats = np.where(hit[..., None],
+                         self.host_features[np.maximum(slots, 0)], 0.0)
+        return RetrievalResult(slots, np.where(hit, scores, 0.0), feats)
+
+    def retrieve(self, queries: np.ndarray, k: Optional[int] = None,
+                 query_locations: Optional[np.ndarray] = None
+                 ) -> RetrievalResult:
+        k = k or self.config.retrieve_k
+        qn, B, funnel = self._dispatch_funnel(queries)
+        return self._host_rerank(qn, B, funnel, k, query_locations)
+
+    def retrieve_stream(self, query_batches: Sequence[np.ndarray],
+                        k: Optional[int] = None) -> List[RetrievalResult]:
+        """Pipelined batch retrieval: all device funnels dispatched before
+        the first host rerank (async JAX dispatch = free overlap)."""
+        k = k or self.config.retrieve_k
+        inflight = [self._dispatch_funnel(q) for q in query_batches]
+        return [self._host_rerank(qn, B, f, k, None)
+                for qn, B, f in inflight]
