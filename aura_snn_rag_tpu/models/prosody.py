@@ -48,6 +48,28 @@ ANALYTICAL_BALANCED = ProsodyAttentionConfig(
     k_winners=7, decay=(0.75, 0.7, 0.65), weights=(1.0, 0.8, 1.2),
     gain_up=1.5, min_gain=0.6, max_gain=2.0, smoothing=3)
 
+# high-sensitivity preset (ref tune_prosody_hyperparameters.py:173-182
+# 'emotional_boosted': w=(1.2, 1.5, 0.6), k=5, gain_up 2.0, no smoothing)
+EMOTIONAL_BOOSTED = ProsodyAttentionConfig(
+    k_winners=5, weights=(1.2, 1.5, 0.6), gain_up=2.0, smoothing=0)
+
+# the full grid the reference sweeps (tune_prosody_hyperparameters.py:120-193)
+SWEEP_CONFIGS: Dict[str, ProsodyAttentionConfig] = {
+    "baseline": ProsodyAttentionConfig(k_winners=5),
+    "less_smoothing": ProsodyAttentionConfig(
+        k_winners=5, smoothing=0, normalize_salience=False),
+    "amplified_channels": ProsodyAttentionConfig(
+        k_winners=5, weights=(1.5, 1.5, 1.5)),
+    "k3_conservative": ProsodyAttentionConfig(
+        k_winners=3, weights=(1.2, 1.2, 1.2), smoothing=1),
+    "k7_aggressive": ProsodyAttentionConfig(
+        k_winners=7, weights=(0.8, 0.8, 0.8), smoothing=0,
+        normalize_salience=False),
+    "emotional_boosted": EMOTIONAL_BOOSTED,
+    "analytical_balanced": ProsodyAttentionConfig(
+        k_winners=5, weights=(0.8, 1.2, 1.0), smoothing=2, gain_up=1.5),
+}
+
 
 def prosody_channels_from_tokens(token_ids: jax.Array
                                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
