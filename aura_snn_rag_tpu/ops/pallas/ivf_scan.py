@@ -28,10 +28,23 @@ except ImportError:  # pragma: no cover
     _PALLAS = False
 
 
+def _forced_cpu() -> bool:
+    """True when the process is pinned to CPU via JAX_PLATFORMS/config.
+
+    Checked BEFORE jax.default_backend(): backend resolution initializes
+    every discovered plugin, and on this platform the axon TPU plugin's
+    init blocks until the (single-tenant) tunnel is free — a CPU-pinned
+    tool would otherwise hang behind an unrelated chip job.
+    """
+    p = getattr(jax.config, "jax_platforms", None) or \
+        os.environ.get("JAX_PLATFORMS", "")
+    return (p or "").split(",")[0].strip().lower() == "cpu"
+
+
 def pallas_available() -> bool:
     if not _PALLAS:
         return False
-    if jax.default_backend() == "cpu":
+    if _forced_cpu() or jax.default_backend() == "cpu":
         # CPU has no Mosaic backend; tests can force the interpreter
         return os.environ.get("AURA_PALLAS_INTERPRET", "") == "1"
     return True
@@ -39,7 +52,7 @@ def pallas_available() -> bool:
 
 def default_interpret() -> bool:
     """Run kernels through the Pallas interpreter on non-TPU backends."""
-    return jax.default_backend() == "cpu"
+    return _forced_cpu() or jax.default_backend() == "cpu"
 
 
 KPAD = 128  # lane-aligned top-k output width

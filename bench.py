@@ -36,6 +36,9 @@ IVF_KERNEL = next((a.split("=", 1)[1] for a in sys.argv
 # flat funnel-score chain dtype override: --flat-score=bf16
 FLAT_SCORE = next((a.split("=", 1)[1] for a in sys.argv
                    if a.startswith("--flat-score=")), None)
+# flat scan strategy A/B override: --flat-strategy=blockmax|scan
+FLAT_STRATEGY = next((a.split("=", 1)[1] for a in sys.argv
+                      if a.startswith("--flat-strategy=")), None)
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -75,6 +78,8 @@ def tpu_bench(feats, queries):
     kernel_kw = {"ivf_kernel": IVF_KERNEL} if IVF_KERNEL else {}
     if FLAT_SCORE:
         kernel_kw["flat_score_dtype"] = FLAT_SCORE
+    if FLAT_STRATEGY:
+        kernel_kw["flat_strategy"] = FLAT_STRATEGY
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0,

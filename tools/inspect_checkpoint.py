@@ -37,8 +37,10 @@ def infer_config_from_params(params) -> dict:
         up = layer0.get("ffn", {}).get("mlp", {}).get("up", {}).get("kernel")
     if up is not None:
         out["intermediate_size"] = up.shape[1]
+    import numpy as _np
     out["param_count"] = sum(
-        x.size for x in jax.tree.leaves(params))
+        int(_np.prod(getattr(x, "shape", ()) or (1,)))
+        for x in jax.tree.leaves(params))
     return out
 
 
