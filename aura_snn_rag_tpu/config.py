@@ -105,6 +105,10 @@ class MemoryConfig:
     # blockmax path (funnel width = 8x this). 64 blocks = 512 reranked
     # rows, provably containing the coarse top-k for any k <= 64.
     flat_block_funnel: int = 64
+    # Bank rows per blockmax-kernel grid step. Larger tiles amortize the
+    # per-grid-step overhead (DMA setup + semaphores) over more bank rows;
+    # must be a multiple of 32 and of the 8-row funnel block.
+    flat_tile_m: int = 1024
 
     @property
     def bucket_capacity(self) -> int:

@@ -703,7 +703,8 @@ def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
                                mul[:, None].astype(jnp.float32)),
                            jax.lax.stop_gradient(
                                add[:, None].astype(jnp.float32)),
-                           interpret=default_interpret())
+                           interpret=default_interpret(),
+                           tile_m=config.flat_tile_m)
         bm = bm[:, :B].T                                         # [B, Nblk]
     else:
         cos = _coarse_cos(state.features_nb16, qn)               # [B, M]

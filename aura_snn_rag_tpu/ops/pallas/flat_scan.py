@@ -94,8 +94,8 @@ def flat_blockmax(bank_coarse: jax.Array, qT: jax.Array, mul: jax.Array,
                  of 128 (pad + slice at the caller).
     mul, add:    [M, 1] f32 per-row affine metadata terms:
                  combined = mul * cos + add  (add = -inf for dead rows).
-                 For the int8 path, `mul` must already fold the 1/127^2
-                 dequantization of the int8x int8 accumulator.
+                 The int8 accumulator's 1/127^2 dequantization is applied
+                 IN-KERNEL — pass `mul` in cosine units for both dtypes.
 
     Returns [ceil(M/tile_m) * tile_m / block_r, B] f32 block maxima
     (padded tail blocks = -inf).

@@ -1,0 +1,91 @@
+"""Flat-scan kernel microbench: blockmax Pallas kernel vs XLA coarse scan.
+
+Isolates the coarse-scoring stage of the flat retrieval path (the
+bandwidth-bound 99% of the work) to attribute the end-to-end QPS number:
+
+  - `xla`:    [M,D] @ [D,B] coarse matmul + [B,M] materialization
+              (the engine's flat_strategy="scan" inner stage)
+  - `kernel`: ops/pallas/flat_scan.flat_blockmax at several tile_m sizes
+              (per-tile grid overhead amortizes with larger tiles)
+
+Prints per-variant ms/batch and effective bank-read bandwidth. Run on the
+chip:  python benchmarks/bench_flat_kernel.py [--small] [--bf16]
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
+import time
+
+import numpy as np
+
+SMALL = "--small" in sys.argv
+DTYPE = "bf16" if "--bf16" in sys.argv else "int8"
+M = 100_000 if SMALL else 1_000_000
+D = 768
+B = 128
+REPS = 4 if SMALL else 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from aura_snn_rag_tpu.ops.pallas.flat_scan import (
+        BLOCK_R, default_interpret, flat_blockmax)
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(M, D).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12
+    if DTYPE == "int8":
+        bank = jnp.asarray(np.clip(np.round(feats * 127.0), -127, 127)
+                           .astype(np.int8))
+        q = jnp.asarray(np.clip(np.round(feats[:B] * 127.0), -127, 127)
+                        .astype(np.int8))
+        inv = 1.0 / (127.0 * 127.0)
+    else:
+        bank = jnp.asarray(feats, jnp.bfloat16)
+        q = jnp.asarray(feats[:B], jnp.bfloat16)
+        inv = None
+    qT = q.T
+    mul = jnp.ones((M, 1), jnp.float32)        # cosine units (dequant is
+    add = jnp.zeros((M, 1), jnp.float32)       # in-kernel for int8)
+    bank_bytes = M * D * (1 if DTYPE == "int8" else 2)
+
+    def fence(x):
+        np.asarray(jax.device_get(x if x.ndim == 0 else x.ravel()[:1]))
+
+    def timed(name, fn):
+        out = fn()
+        fence(out)                      # warm/compile
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(REPS)]
+        fence(outs[-1])
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{name:28s} {dt * 1e3:8.2f} ms/batch   "
+              f"{bank_bytes / dt / 1e9:7.1f} GB/s eff   "
+              f"{B / dt:9.0f} QPS(coarse)", flush=True)
+        return dt
+
+    # XLA scan stage: coarse matmul + combined + blockmax reduce in XLA
+    @jax.jit
+    def xla_scan():
+        acc = jax.lax.dot_general(
+            bank, qT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if inv else jnp.float32)
+        cos = acc.astype(jnp.float32) * (inv or 1.0)
+        combined = cos * mul + add
+        return combined.reshape(-1, BLOCK_R, B).max(axis=1)
+
+    timed("xla coarse+blockmax", xla_scan)
+
+    for tile_m in (1024, 2048, 4096, 8192):
+        timed(f"pallas blockmax tile={tile_m}",
+              lambda t=tile_m: flat_blockmax(
+                  bank, qT, mul, add,
+                  interpret=default_interpret(), tile_m=t))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,3 +138,21 @@ def test_blockmax_int8_coarse_recall():
     recall = np.mean([len(set(g) & set(w)) / 5.0
                       for g, w in zip(got, want)])
     assert recall == 1.0, (recall, got[:3], want[:3])
+
+
+def test_blockmax_tile_m_knob(monkeypatch):
+    """config.flat_tile_m reaches the kernel and larger tiles give
+    identical retrieval (tail blocks of a non-divisible M stay -inf)."""
+    monkeypatch.setenv("AURA_PALLAS_INTERPRET", "1")
+    base = _cfg(3000, flat_strategy="blockmax")
+    state, feats = _loaded_state(base, 2900)
+    q = jnp.asarray(feats[:5])
+    ref = retrieve_flat(base, state, q, None, 5)
+    for tile in (2048, 4096):
+        cfg = _cfg(3000, flat_strategy="blockmax", flat_tile_m=tile)
+        r = retrieve_flat(cfg, state, q, None, 5)
+        np.testing.assert_array_equal(np.asarray(r.indices),
+                                      np.asarray(ref.indices))
+        np.testing.assert_allclose(np.asarray(r.scores),
+                                   np.asarray(ref.scores),
+                                   rtol=2e-5, atol=2e-6)
