@@ -5,7 +5,8 @@ path: a ('data', 'model') mesh, NamedSharding param rules (tensor parallel
 over heads/FFN-hidden, data parallel over batch and memory-bank rows),
 GSPMD-compiled collectives over ICI, a multi-slice ('replica','data',
 'model') hybrid mesh whose 'replica' collectives ride DCN, a GPipe-style
-microbatch pipeline over a 'stage' axis, and the multi-host launcher seam.
+microbatch pipeline over a 'stage' axis, ring attention over a 'seq' axis
+(sequence/context parallelism), and the multi-host launcher seam.
 """
 
 from aura_snn_rag_tpu.parallel.mesh import (  # noqa: F401
@@ -25,4 +26,8 @@ from aura_snn_rag_tpu.parallel.pipeline import (  # noqa: F401
     pipeline_apply,
     split_microbatches,
     stack_stage_params,
+)
+from aura_snn_rag_tpu.parallel.ring_attention import (  # noqa: F401
+    ring_attention,
+    sequence_sharded_attention,
 )
