@@ -1,0 +1,124 @@
+"""Host-spilled bank benchmark: 10M x 768 rows on ONE chip.
+
+VERDICT r2 #4: "larger-than-HBM episodic bank ... Done = a 10M x 768 bench
+row with recall@10 >= 0.99 and a QPS number". The reference caps at 100k
+GPU-resident rows and names O(n^2) its scaling ceiling
+(/root/reference/README.md:39, TODO.md:12); this measures the memory-
+hierarchy split (int8 coarse in HBM + exact f32 rows in host RAM,
+memory/host_spill.py) at 100x that scale.
+
+    python benchmarks/bench_host_spill.py [--small]   # --small: 1M rows
+
+Prints ONE JSON line: {"n_vectors", "qps", "recall_at_10", "ingest_s", ...}.
+Ground truth = exact cosine top-k over ALL rows, computed chunkwise on host.
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import sys
+import time
+
+import numpy as np
+
+SMALL = "--small" in sys.argv
+N = 1_000_000 if SMALL else 10_000_000
+D = 768
+TOPK = 10
+QUERY_BATCH = 128
+N_QUERY_BATCHES = 8 if SMALL else 16
+N_EVAL = 64          # queries scored against exact ground truth
+N_CENTERS = 4096
+CHUNK = 262_144
+
+
+def chunk_factory(seed0=0):
+    """Deterministic clustered rows, generated per chunk (never the full
+    f32 bank twice on host)."""
+    rng0 = np.random.RandomState(seed0)
+    centers = (rng0.randn(N_CENTERS, D).astype(np.float32) * 2.0)
+
+    def make(offset, b):
+        rng = np.random.RandomState(1000 + offset)
+        assign = rng.randint(0, N_CENTERS, b)
+        return centers[assign] + rng.randn(b, D).astype(np.float32)
+
+    return make
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from aura_snn_rag_tpu.config import MemoryConfig
+    from aura_snn_rag_tpu.memory.host_spill import SpilledBank
+
+    cfg = MemoryConfig(
+        max_memories=N, feature_dim=D, retrieve_k=TOPK,
+        coarse_dtype="int8", flat_block_funnel=64,
+        # unused index knobs kept tiny (the spilled bank is flat-funnel)
+        k_centroids=16, n_place_cells=8, n_grid_cells=4, n_time_cells=2)
+    bank = SpilledBank(cfg)
+    make = chunk_factory()
+
+    t0 = time.perf_counter()
+    bank.bulk_load_chunked(make, N, chunk=CHUNK)
+    np.asarray(bank.dev.strength[:1])                     # device fence
+    ingest_s = time.perf_counter() - t0
+
+    # queries: perturbed copies of real rows (re-generated, not stored)
+    rngq = np.random.RandomState(7)
+    n_q = QUERY_BATCH * N_QUERY_BATCHES
+    q_off = rngq.randint(0, N - CHUNK, n_q)
+    queries = np.zeros((n_q, D), np.float32)
+    for i, off in enumerate(q_off):                       # row `off` exactly
+        base = (off // CHUNK) * CHUNK
+        queries[i] = make(base, CHUNK)[off - base]
+    queries += 0.5 * rngq.randn(n_q, D).astype(np.float32)
+
+    # sustained QPS: pipelined batches (device funnels overlap host rerank)
+    batches = [queries[i * QUERY_BATCH:(i + 1) * QUERY_BATCH]
+               for i in range(N_QUERY_BATCHES)]
+    bank.retrieve(batches[0][:8])                          # warm/compile
+    t0 = time.perf_counter()
+    results = bank.retrieve_stream(batches)
+    qps = n_q / (time.perf_counter() - t0)
+
+    # exact ground truth, chunkwise over the host f32 bank
+    qn = queries[:N_EVAL] / (np.linalg.norm(
+        queries[:N_EVAL], axis=1, keepdims=True) + 1e-12)
+    best_v = np.full((N_EVAL, TOPK), -1e30, np.float32)
+    best_i = np.zeros((N_EVAL, TOPK), np.int64)
+    for off in range(0, N, CHUNK):
+        rows = bank.host_features[off:off + CHUNK]
+        rn = rows / (np.linalg.norm(rows, axis=1, keepdims=True) + 1e-12)
+        cos = qn @ rn.T                                    # [E, chunk]
+        merged_v = np.concatenate([best_v, cos], axis=1)
+        merged_i = np.concatenate(
+            [best_i, np.arange(off, off + rows.shape[0])[None, :]
+             .repeat(N_EVAL, 0)], axis=1)
+        pick = np.argpartition(-merged_v, TOPK - 1, axis=1)[:, :TOPK]
+        best_v = np.take_along_axis(merged_v, pick, axis=1)
+        best_i = np.take_along_axis(merged_i, pick, axis=1)
+
+    got = np.concatenate([r.indices for r in results])[:N_EVAL]
+    recall = float(np.mean([
+        len(set(g.tolist()) & set(e.tolist())) / TOPK
+        for g, e in zip(got, best_i)]))
+
+    hbm_gb = N * D / 2**30 + N * 8 / 2**30                # int8 + metadata
+    host_gb = N * D * 4 / 2**30
+    print(json.dumps({
+        "metric": f"host-spilled retrieval QPS @ {N} vectors",
+        "value": round(qps, 1), "unit": "queries/s",
+        "recall_at_10": round(recall, 4),
+        "ingest_s": round(ingest_s, 1),
+        "n_vectors": N, "coarse_dtype": "int8",
+        "hbm_resident_gb": round(hbm_gb, 2),
+        "host_resident_gb": round(host_gb, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
