@@ -81,6 +81,34 @@ def prosody_channels_from_tokens(token_ids: jax.Array
     return amp, pitch, boundary
 
 
+def prosody_channels_from_strings(tokens) -> Tuple[np.ndarray, np.ndarray,
+                                                   np.ndarray]:
+    """Text-derived (amp, pitch, boundary) channels from token STRINGS.
+
+    The reference's bridge acknowledges its trig-hash-of-ids channels are a
+    GPU-side approximation and that "in a real pipeline" prosody should come
+    from the text itself (/root/reference/src/core/language_zone/
+    prosody_attention.py:22-24); its optimized bridge even passes token
+    strings into the id-hash function (optimized_prosody_attention.py:124 —
+    a latent type bug). This is that real pipeline, host-side and
+    deterministic: emphasis (capitalization, exclamation) drives amplitude,
+    word length drives pitch range, sentence punctuation marks boundaries.
+    Returns [1, T] float32 arrays ready for
+    `multi_channel_spiking_attention`.
+    """
+    amp, pitch, boundary = [], [], []
+    for w in tokens:
+        letters = [c for c in w if c.isalpha()]
+        caps = (sum(c.isupper() for c in letters) / len(letters)
+                if letters else 0.0)
+        excl = min(w.count("!") + w.count("?"), 3) / 3.0
+        amp.append(0.2 + 0.6 * caps + 0.4 * excl)
+        pitch.append(0.3 + 0.7 * min(len(w) / 10.0, 1.0))
+        boundary.append(1.0 if (w and w[-1] in ".,;:!?") else 0.0)
+    mk = lambda v: np.asarray(v, np.float32)[None, :]
+    return mk(amp), mk(pitch), mk(boundary)
+
+
 def _lif_chain(x: jax.Array, decay: float, theta: float = 1.0) -> jax.Array:
     """Binary LIF with reset over [B, T] drive."""
 

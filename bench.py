@@ -224,10 +224,15 @@ def main():
     ref = ReferenceMathIndex(feats)
     ref_build_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    ref_results = [ref.query(queries[i]) for i in range(BASELINE_QUERIES)]
-    ref_dt = time.perf_counter() - t0
-    ref_qps = BASELINE_QUERIES / ref_dt
+    # median per-query latency: robust to transient contention on the
+    # 1-core host (total-time QPS swung 4x between otherwise identical
+    # runs when a background job stole slices mid-measurement)
+    ref_results, lats = [], []
+    for i in range(BASELINE_QUERIES):
+        t0 = time.perf_counter()
+        ref_results.append(ref.query(queries[i]))
+        lats.append(time.perf_counter() - t0)
+    ref_qps = 1.0 / float(np.median(lats))
     ref_recall = recall_at_k(
         np.stack([r[:TOPK] for r in ref_results]),
         exact[:BASELINE_QUERIES])

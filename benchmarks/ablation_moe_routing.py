@@ -50,14 +50,41 @@ HIGH_PROSODY_TEXTS = [
 def _token_ids(text):
     # the reference study feeds POSITIONAL ids (`list(range(len(tokens)))`,
     # ablation_moe_routing.py:179-180) into the trig-hash prosody channels,
-    # so the regime signal rides sequence length/position — mirror that
+    # so the regime signal rides sequence length/position only — with
+    # near-equal-length regimes the gains are indistinguishable and every
+    # config fails its own criterion (a latent reference defect: the
+    # "real pipeline" text channels are stubbed out,
+    # prosody_attention.py:22-24). Kept behind --hash-channels for literal
+    # parity; the default uses the text-derived channels.
     return np.arange(len(text.split()), dtype=np.int32)
+
+
+HASH_CHANNELS = "--hash-channels" in __import__("sys").argv
+
+
+def _gain_for(text):
+    from aura_snn_rag_tpu.models.prosody import (
+        ANALYTICAL_BALANCED, multi_channel_spiking_attention,
+        prosody_attention_gains, prosody_channels_from_strings)
+
+    if HASH_CHANNELS:                       # reference-literal behavior
+        ids = jnp.asarray(_token_ids(text)[None, :])
+        gains, _ = prosody_attention_gains(ids)
+        return float(np.asarray(gains).mean())
+    # k7_aggressive: unnormalized salience keeps regime INTENSITY (the
+    # normalized presets erase it — salience/max saturates the tanh gain)
+    from aura_snn_rag_tpu.models.prosody import SWEEP_CONFIGS
+    amp, pitch, boundary = prosody_channels_from_strings(text.split())
+    res = multi_channel_spiking_attention(
+        jnp.asarray(amp), jnp.asarray(pitch), jnp.asarray(boundary),
+        SWEEP_CONFIGS["k7_aggressive"])
+    gains = res["mu_scalar"][:, None] * (1.0 + res["salience"])
+    return float(np.asarray(gains).mean())
 
 
 def run_config(name, use_bandit, usage_beta, n_samples=100, seed=0):
     from aura_snn_rag_tpu.models.brain.liquid_moe import (
         BanditGating, LiquidMoERouter)
-    from aura_snn_rag_tpu.models.prosody import prosody_attention_gains
 
     rng = np.random.RandomState(seed)
     E, D = 8, 32
@@ -72,9 +99,7 @@ def run_config(name, use_bandit, usage_beta, n_samples=100, seed=0):
                           ("high", HIGH_PROSODY_TEXTS)):
         for _ in range(n_samples):
             text = texts[rng.randint(len(texts))]
-            ids = jnp.asarray(_token_ids(text)[None, :])
-            gains, _ = prosody_attention_gains(ids)
-            gain = float(np.asarray(gains).mean())
+            gain = _gain_for(text)
             x = jnp.asarray(rng.randn(1, D).astype(np.float32))
             out = router.apply(params, x,
                                attn_gain=jnp.asarray([gain]))

@@ -199,3 +199,41 @@ class TestEmotionModulatedProsody:
         assert float(pr_anger[..., 0].mean()) > float(pr_neutral[..., 0].mean())
         # valence signs: anger negative, neutral ~0
         assert float(pr_anger[..., 1].mean()) < -0.5
+
+
+class TestTextProsodyChannels:
+    """prosody_channels_from_strings — the 'real pipeline' channel source
+    the reference stubs out (prosody_attention.py:22-24; its optimized
+    bridge passes strings into the id-hash function, a latent type bug)."""
+
+    def test_emphasis_drives_amplitude(self):
+        from aura_snn_rag_tpu.models.prosody import (
+            prosody_channels_from_strings)
+        amp_c, _, bnd_c = prosody_channels_from_strings(
+            "the report covers the second quarter".split())
+        amp_s, _, bnd_s = prosody_channels_from_strings(
+            "WOW this is absolutely INCREDIBLE!!".split())
+        assert amp_s.mean() > amp_c.mean() + 0.1
+        assert bnd_s.max() == 1.0          # '!!' marks a boundary
+        assert amp_c.shape[0] == 1 and amp_c.dtype == np.float32
+
+    def test_regimes_separate_through_attention(self):
+        """Calm vs emphatic text must yield distinct mean gains through the
+        unnormalized (k7_aggressive) spiking-attention chain — the property
+        the MoE routing ablation measures."""
+        import jax.numpy as jnp
+        from aura_snn_rag_tpu.models.prosody import (
+            SWEEP_CONFIGS, multi_channel_spiking_attention,
+            prosody_channels_from_strings)
+
+        def gain(text):
+            a, p, b = prosody_channels_from_strings(text.split())
+            r = multi_channel_spiking_attention(
+                jnp.asarray(a), jnp.asarray(p), jnp.asarray(b),
+                SWEEP_CONFIGS["k7_aggressive"])
+            g = r["mu_scalar"][:, None] * (1.0 + r["salience"])
+            return float(np.asarray(g).mean())
+
+        calm = gain("the recipe calls for two eggs and a cup of milk")
+        loud = gain("STOP that is the most AMAZING thing I have EVER seen!!")
+        assert loud > calm + 0.3, (calm, loud)
