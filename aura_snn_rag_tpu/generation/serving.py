@@ -40,11 +40,24 @@ class BatchedGenerator:
     def __init__(self, model, params, batch_size: int = 8,
                  prompt_pad: int = 64, max_new_tokens: int = 64,
                  memory_state=None, pad_token_id: int = 0,
-                 rng: Optional[jax.Array] = None, mesh=None):
+                 rng: Optional[jax.Array] = None, mesh=None,
+                 weights_dtype: Optional[str] = None):
         """mesh: optional ('data','model') Mesh — params are placed
         tensor-parallel per parallel/mesh.py rules and decode runs sharded
-        (TP collectives over ICI); batches replicate over 'data'."""
+        (TP collectives over ICI); batches replicate over 'data'.
+
+        weights_dtype: optional "bfloat16" — cast f32 weights once at
+        server start. Small-batch decode is weight-READ-bound (every
+        parameter crosses HBM once per token), so bf16 weights halve the
+        per-token bandwidth; sampled outputs may differ in near-ties
+        (greedy argmax on well-separated logits is unaffected). Default
+        keeps the training dtype."""
         self.model = model
+        if weights_dtype == "bfloat16":
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
         if mesh is not None:
             from aura_snn_rag_tpu.parallel.mesh import shard_params
             params = shard_params(params, mesh)

@@ -127,3 +127,22 @@ class TestShardedServing:
         out_tp = gen_tp.generate_batch(req())[0]
         # greedy at T→0: sharded and unsharded decode agree
         np.testing.assert_array_equal(out_ref, out_tp)
+
+
+class TestBf16Serving:
+    def test_bf16_weights_cast_and_serve(self):
+        """weights_dtype='bfloat16' casts f32 params once and the decode
+        loop still produces valid tokens (weight-read-bound small-batch
+        decode halves its HBM traffic)."""
+        cfg = dataclasses.replace(get_debug_config().model, dropout=0.0)
+        model = HippocampalTransformer(cfg)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        gen = BatchedGenerator(model, params, batch_size=2, prompt_pad=8,
+                               max_new_tokens=4, weights_dtype="bfloat16")
+        f32_left = [x for x in jax.tree.leaves(gen.params)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32]
+        assert not f32_left
+        from aura_snn_rag_tpu.generation.serving import GenerationRequest
+        outs = gen.generate_batch([GenerationRequest(np.asarray([1, 2, 3]))])
+        assert outs[0].shape == (4,) and (outs[0] >= 0).all()
