@@ -16,7 +16,6 @@ matched recall@10.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
-import dataclasses
 import json
 import os
 import sys

@@ -64,8 +64,8 @@ HASH_CHANNELS = "--hash-channels" in __import__("sys").argv
 
 def _gain_for(text):
     from aura_snn_rag_tpu.models.prosody import (
-        ANALYTICAL_BALANCED, multi_channel_spiking_attention,
-        prosody_attention_gains, prosody_channels_from_strings)
+        multi_channel_spiking_attention, prosody_attention_gains,
+        prosody_channels_from_strings)
 
     if HASH_CHANNELS:                       # reference-literal behavior
         ids = jnp.asarray(_token_ids(text)[None, :])

@@ -49,8 +49,7 @@ def chunk_factory(seed0=0):
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    import jax  # noqa: F401 (backend init)
     from aura_snn_rag_tpu.config import MemoryConfig
     from aura_snn_rag_tpu.memory.host_spill import SpilledBank
 
