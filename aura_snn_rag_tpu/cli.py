@@ -182,7 +182,11 @@ def mnist(epochs, hidden):
 @click.option("--checkpoint-dir", default=None, type=click.Path())
 @click.option("--batch-size", default=8, type=int)
 @click.option("--max-new-tokens", default=64, type=int)
-def serve(host, port, preset, checkpoint_dir, batch_size, max_new_tokens):
+@click.option("--bf16-weights", is_flag=True,
+              help="cast f32 weights to bf16 once at start (halves the "
+                   "weight-read bandwidth of small-batch decode)")
+def serve(host, port, preset, checkpoint_dir, batch_size, max_new_tokens,
+          bf16_weights):
     """HTTP generation server over the batched KV-cached decoder.
 
     POST /generate {"prompt_ids": [...], "max_new_tokens": N,
@@ -210,8 +214,10 @@ def serve(host, port, preset, checkpoint_dir, batch_size, max_new_tokens):
         tr = Trainer(cfg, seed=0)
         CheckpointManager(checkpoint_dir).restore(tr)
         params = tr.state.params
-    gen = BatchedGenerator(model, params, batch_size=batch_size,
-                           prompt_pad=64, max_new_tokens=max_new_tokens)
+    gen = BatchedGenerator(
+        model, params, batch_size=batch_size, prompt_pad=64,
+        max_new_tokens=max_new_tokens,
+        weights_dtype="bfloat16" if bf16_weights else None)
 
     async def run_server():
         from aiohttp import web
