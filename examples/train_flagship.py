@@ -61,9 +61,14 @@ def main():
     ap.add_argument("--memory-warmup", type=int, default=-1,
                     help="override memory_warmup_steps (0 = RAG live from "
                          "step 0; useful for short throughput probes)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to CPU (sitecustomize pins the TPU platform "
+                         "via jax config, so env JAX_PLATFORMS is ignored)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from aura_snn_rag_tpu import config as cfg_mod
     from aura_snn_rag_tpu.training.checkpoint import CheckpointManager
     from aura_snn_rag_tpu.training.data import TokenStream
