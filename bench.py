@@ -38,6 +38,9 @@ FLAT_SCORE = next((a.split("=", 1)[1] for a in sys.argv
 # flat scan strategy A/B override: --flat-strategy=blockmax|scan
 FLAT_STRATEGY = next((a.split("=", 1)[1] for a in sys.argv
                       if a.startswith("--flat-strategy=")), None)
+# blockmax kernel tile size override: --flat-tile-m=4096
+FLAT_TILE_M = next((int(a.split("=", 1)[1]) for a in sys.argv
+                    if a.startswith("--flat-tile-m=")), None)
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -79,6 +82,8 @@ def tpu_bench(feats, queries):
         kernel_kw["flat_score_dtype"] = FLAT_SCORE
     if FLAT_STRATEGY:
         kernel_kw["flat_strategy"] = FLAT_STRATEGY
+    if FLAT_TILE_M:
+        kernel_kw["flat_tile_m"] = FLAT_TILE_M
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0,
