@@ -38,6 +38,41 @@ def apply_repetition_penalty(logits: jax.Array, token_counts: jax.Array,
     return jnp.where(seen, penalized, logits)
 
 
+def exact_topk_blockwise(logits: jax.Array, k: int,
+                         block: int = 128) -> tuple:
+    """Exact (values, indices) top-k via a block-max funnel.
+
+    Same containment argument as the memory engine's flat funnel
+    (engine.select_block_candidates): at most k-1 elements out-score the
+    k-th best, so they occupy at most k-1 blocks, and the k-th best
+    element's own block max >= its value — the top-k blocks BY MAX provably
+    contain every top-k element. Replaces one sort over the full vocab
+    (32k) with a VPU block-max pass + a sort over k*block (6.4k at k=50) —
+    the decode scan's dominant non-matmul op at B=1.
+
+    Exactness: returned VALUES equal `jax.lax.top_k`'s exactly; index
+    order may differ from lax.top_k only between exactly-equal values
+    (ties), which is sampling-distribution-identical.
+    """
+    V = logits.shape[-1]
+    nb = -(-V // block)
+    pad = nb * block - V
+    x = jnp.pad(logits, [(0, 0)] * (logits.ndim - 1) + [(0, pad)],
+                constant_values=NEG_INF) if pad else logits
+    xb = x.reshape(*logits.shape[:-1], nb, block)
+    bmax = xb.max(axis=-1)                                   # [..., nb]
+    kb = min(k, nb)
+    _, top_blocks = jax.lax.top_k(bmax, kb)                  # [..., kb]
+    # expand winning blocks to their member lanes
+    lane = jnp.arange(block)
+    cand_idx = (top_blocks[..., None] * block + lane).reshape(
+        *logits.shape[:-1], kb * block)                      # [..., kb*B]
+    cand = jnp.take_along_axis(x, cand_idx, axis=-1)
+    vals, pick = jax.lax.top_k(cand, k)
+    idx = jnp.take_along_axis(cand_idx, pick, axis=-1)
+    return vals, idx
+
+
 def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
     if k <= 0:
         return logits
@@ -72,7 +107,8 @@ def sample_token(rng: jax.Array, logits: jax.Array,
                  temperature=1.0, top_k: int = 0,
                  top_p=1.0,
                  token_counts: Optional[jax.Array] = None,
-                 repetition_penalty: float = 1.0) -> jax.Array:
+                 repetition_penalty: float = 1.0,
+                 topk_impl: str = "sort") -> jax.Array:
     """logits [..., V] → sampled token ids [...].
 
     `temperature` and `top_p` may be Python floats (static) or traced arrays
@@ -98,7 +134,10 @@ def sample_token(rng: jax.Array, logits: jax.Array,
         logits = logits / (t[..., None] if t.ndim else t)
 
     if top_k > 0:
-        vals, idx = jax.lax.top_k(logits, top_k)    # sorted descending
+        if topk_impl == "blockwise":
+            vals, idx = exact_topk_blockwise(logits, top_k)
+        else:
+            vals, idx = jax.lax.top_k(logits, top_k)  # sorted descending
         static_p = isinstance(top_p, (int, float))
         if not (static_p and top_p >= 1.0):
             p = jnp.asarray(top_p, jnp.float32)
@@ -121,7 +160,8 @@ def generate(model, params, input_ids: jax.Array, max_new_tokens: int,
              top_p=0.9, repetition_penalty: float = 1.2,
              memory_state=None, use_memory: bool = False,
              eos_token_id: Optional[int] = None,
-             prosody: Optional[jax.Array] = None) -> jax.Array:
+             prosody: Optional[jax.Array] = None,
+             topk_impl: str = "sort") -> jax.Array:
     """KV-cached autoregressive generation.
 
     input_ids: [B, L_prompt] → returns [B, L_prompt + max_new_tokens]
@@ -146,7 +186,8 @@ def generate(model, params, input_ids: jax.Array, max_new_tokens: int,
         kv_caches=caches, cache_index=jnp.asarray(0))
     rng, sub = jax.random.split(rng)
     next_tok = sample_token(sub, out.logits[:, -1], temperature, top_k,
-                            top_p, counts, repetition_penalty)
+                            top_p, counts, repetition_penalty,
+                            topk_impl=topk_impl)
 
     def step(carry, rng_t):
         caches, counts, tok, pos, done = carry
@@ -157,7 +198,8 @@ def generate(model, params, input_ids: jax.Array, max_new_tokens: int,
             positions=pos[:, None],
             kv_caches=caches, cache_index=pos[0])
         nxt = sample_token(rng_t, out.logits[:, 0], temperature, top_k,
-                           top_p, counts, repetition_penalty)
+                           top_p, counts, repetition_penalty,
+                           topk_impl=topk_impl)
         if eos_token_id is not None:
             nxt = jnp.where(done, eos_token_id, nxt)
             done = done | (nxt == eos_token_id)

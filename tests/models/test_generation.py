@@ -105,3 +105,46 @@ class TestFusedTopKTopP:
         tok = sample_token(jax.random.PRNGKey(0), logits, top_k=1)
         np.testing.assert_array_equal(np.asarray(tok),
                                       np.asarray(logits.argmax(-1)))
+
+
+class TestBlockwiseTopK:
+    """exact_topk_blockwise: value-exact vs lax.top_k on the vocab scale."""
+
+    def test_values_match_lax_topk(self):
+        import jax
+        import jax.numpy as jnp
+        from aura_snn_rag_tpu.generation.sampler import exact_topk_blockwise
+        rng = np.random.RandomState(0)
+        for V, k in ((32000, 50), (31999, 50), (1000, 17), (100, 100)):
+            x = jnp.asarray(rng.randn(3, V).astype(np.float32))
+            v_ref, i_ref = jax.lax.top_k(x, min(k, V))
+            v_blk, i_blk = exact_topk_blockwise(x, min(k, V))
+            np.testing.assert_allclose(np.asarray(v_blk), np.asarray(v_ref))
+            # distinct values -> identical indices (randn: ties ~impossible)
+            np.testing.assert_array_equal(np.asarray(i_blk),
+                                          np.asarray(i_ref))
+
+    def test_indices_valid_under_ties(self):
+        import jax
+        import jax.numpy as jnp
+        from aura_snn_rag_tpu.generation.sampler import exact_topk_blockwise
+        x = jnp.zeros((2, 512)).at[:, 7].set(1.0)     # massive tie plateau
+        v, i = exact_topk_blockwise(x, 5)
+        assert (np.asarray(v[:, 0]) == 1.0).all()
+        assert (np.asarray(i[:, 0]) == 7).all()
+        assert ((np.asarray(i) >= 0) & (np.asarray(i) < 512)).all()
+        got = np.asarray(jnp.take_along_axis(x, i, axis=-1))
+        np.testing.assert_allclose(got, np.asarray(v))
+
+    def test_sampled_distribution_identical(self):
+        """sample_token(topk_impl='blockwise') must sample the same token
+        as the sort path under the same rng when values are distinct."""
+        import jax
+        import jax.numpy as jnp
+        from aura_snn_rag_tpu.generation.sampler import sample_token
+        rng = np.random.RandomState(3)
+        logits = jnp.asarray(rng.randn(4, 32000).astype(np.float32))
+        key = jax.random.PRNGKey(9)
+        a = sample_token(key, logits, 0.8, 50, 0.9)
+        b = sample_token(key, logits, 0.8, 50, 0.9, topk_impl="blockwise")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
