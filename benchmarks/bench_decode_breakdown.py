@@ -113,10 +113,20 @@ def main():
     r_bf16 = timed("full, bf16 params", lambda: full(
         bf16_params, input_ids=ids, rng=rng))
 
+    blockwise = jax.jit(functools.partial(
+        generate, model, max_new_tokens=T, temperature=0.8, top_k=50,
+        top_p=0.9, repetition_penalty=1.2, topk_impl="blockwise"))
+    r_blk = timed("full, blockwise topk", lambda: blockwise(
+        params, input_ids=ids, rng=rng))
+    r_best = timed("bf16 + blockwise", lambda: blockwise(
+        bf16_params, input_ids=ids, rng=rng))
+
     print(json.dumps({
         "preset": args.preset, "batch": B, "new_tokens": T,
         "ms_per_token": {"full": r_full, "greedy": r_greedy,
-                         "forward_only": r_fwd, "bf16_full": r_bf16},
+                         "forward_only": r_fwd, "bf16_full": r_bf16,
+                         "blockwise_topk": r_blk,
+                         "bf16_blockwise": r_best},
         "sampler_share_ms": round(r_full - r_fwd, 4),
         "f32_weight_read_share_ms": round(r_full - r_bf16, 4),
     }))
