@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--kernels", default="v3",
                     help="comma list of IVF kernel generations to warm "
                          "(v2,v3,v3r)")
+    ap.add_argument("--flat-strategies", default="blockmax",
+                    help="comma list of flat-scan strategies to warm "
+                         "(blockmax,scan)")
+    ap.add_argument("--flat-tiles", default="0",
+                    help="comma list of blockmax tile_m values to warm "
+                         "(0 = config default)")
     args = ap.parse_args()
 
     import jax
@@ -74,11 +80,18 @@ def main():
                 np.asarray(res.indices)
                 print(f"[{coarse}] ivf-{kver} B={B} warmed in "
                       f"{time.time()-t0:.1f}s", flush=True)
-            t0 = time.time()
-            res = retrieve_flat(cfg, state, q, None, 10)
-            np.asarray(res.indices)
-            print(f"[{coarse}] flat B={B} warmed in "
-                  f"{time.time()-t0:.1f}s", flush=True)
+            for strat in args.flat_strategies.split(","):
+                for tile in [int(t) for t in args.flat_tiles.split(",")]:
+                    kw = {"flat_strategy": strat.strip()}
+                    if tile:
+                        kw["flat_tile_m"] = tile
+                    cfg_f = dataclasses.replace(cfg, **kw)
+                    t0 = time.time()
+                    res = retrieve_flat(cfg_f, state, q, None, 10)
+                    np.asarray(res.indices)
+                    print(f"[{coarse}] flat/{strat} tile={tile or 'dflt'} "
+                          f"B={B} warmed in {time.time()-t0:.1f}s",
+                          flush=True)
     print("cache warm", flush=True)
 
 
