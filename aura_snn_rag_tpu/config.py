@@ -96,11 +96,15 @@ class MemoryConfig:
     # exact f32 rerank restores exactness on the survivors.
     # (Only used by flat_strategy="scan".)
     flat_score_dtype: str = "f32"
-    # Flat-scan strategy: "blockmax" (default) streams the bank once
-    # through the Pallas block-max kernel (no [B, M] materialization,
-    # hierarchical EXACT funnel selection — see ops/pallas/flat_scan.py);
-    # "scan" is the original [B, M] + approx_max_k path (A/B reference).
-    flat_strategy: str = "blockmax"
+    # Flat-scan strategy: "blockmax" streams the bank once through the
+    # Pallas block-max kernel (no [B, M] materialization, hierarchical
+    # EXACT funnel selection — see ops/pallas/flat_scan.py); "scan" is the
+    # [B, M] + approx_max_k XLA path. Default "scan": on-chip it measured
+    # 25-26k QPS @1M×768 vs blockmax@tile1024's 12.7k — the kernel's
+    # per-grid-step overhead dominates at the default tile
+    # (benchmarks/bench_flat_kernel.py attributes it; flip the default
+    # when a tile size wins the A/B).
+    flat_strategy: str = "scan"
     # Number of 8-row blocks whose members get the exact f32 rerank in the
     # blockmax path (funnel width = 8x this). 64 blocks = 512 reranked
     # rows, provably containing the coarse top-k for any k <= 64.
