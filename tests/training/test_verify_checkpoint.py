@@ -99,3 +99,15 @@ def test_deep_scan_flags_nonfinite_and_passes_clean(saved):
     restored["params"]["params"]["final_norm"]["scale"] = k0
     findings = deep_scan(restored, meta)
     assert any("NONFINITE" in f and "final_norm" in f for f in findings)
+
+
+def test_preset_inference_from_shapes(saved):
+    """The tool maps checkpoint shapes back to the generating preset."""
+    from tools.inspect_checkpoint import infer_config_from_params
+    tree = _metadata_tree(saved, 1)
+    inferred = infer_config_from_params(tree.get("params", tree))
+    from aura_snn_rag_tpu.config import get_debug_config
+    c = get_debug_config().model
+    assert inferred["embedding_dim"] == c.embedding_dim
+    assert inferred["num_layers"] == c.num_layers
+    assert inferred["vocab_size"] == c.vocab_size
