@@ -69,7 +69,34 @@ def make_data(n, d, n_centers=1024, seed=0):
     return feats, centers
 
 
+def _backend_watchdog(timeout_s: int = 900):
+    """Fail fast (instead of hanging forever) when the TPU tunnel is down.
+
+    Backend resolution blocks inside the PJRT client claim when the
+    single-tenant axon tunnel is unavailable; a watchdog thread aborts
+    with a diagnostic once `jax.devices()` has been stuck for timeout_s.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            sys.stderr.write(
+                f"bench.py: TPU backend init stuck >{timeout_s}s — the "
+                f"axon tunnel is down (PJRT claim blocks in "
+                f"make_c_api_client). Aborting instead of hanging.\n")
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+    jax.devices()
+    done.set()
+
+
 def tpu_bench(feats, queries):
+    _backend_watchdog()
     import jax
     import jax.numpy as jnp
     from aura_snn_rag_tpu.config import MemoryConfig
