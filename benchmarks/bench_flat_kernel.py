@@ -68,9 +68,11 @@ def main():
               f"{B / dt:9.0f} QPS(coarse)", flush=True)
         return dt
 
-    # XLA scan stage: coarse matmul + combined + blockmax reduce in XLA
+    # XLA scan stage: coarse matmul + combined + blockmax reduce in XLA.
+    # Operands ride as ARGUMENTS (closing over the 768 MB bank would embed
+    # it as a compile-time constant in the remote-compile request → HTTP 413).
     @jax.jit
-    def xla_scan():
+    def xla_scan(bank, qT, mul, add):
         acc = jax.lax.dot_general(
             bank, qT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32 if inv else jnp.float32)
@@ -78,7 +80,7 @@ def main():
         combined = cos * mul + add
         return combined.reshape(-1, BLOCK_R, B).max(axis=1)
 
-    timed("xla coarse+blockmax", xla_scan)
+    timed("xla coarse+blockmax", lambda: xla_scan(bank, qT, mul, add))
 
     for tile_m in (1024, 2048, 4096, 8192):
         timed(f"pallas blockmax tile={tile_m}",
