@@ -82,11 +82,21 @@ def main():
 
     timed("xla coarse+blockmax", lambda: xla_scan(bank, qT, mul, add))
 
-    for tile_m in (1024, 2048, 4096, 8192):
-        timed(f"pallas blockmax tile={tile_m}",
+    for tile_m in (1024, 2048):
+        timed(f"pallas s8-native tile={tile_m}",
               lambda t=tile_m: flat_blockmax(
                   bank, qT, mul, add,
-                  interpret=default_interpret(), tile_m=t))
+                  interpret=default_interpret(), tile_m=t,
+                  int8_via_bf16=False))
+    # int8 storage, bf16 MXU compute (exact: products <= 127^2 and 768-term
+    # f32 accumulation stay below 2^24). tile=4096 exceeds the 16 MB scoped
+    # VMEM with the in-kernel bf16 copy (measured 18.4 MB).
+    for tile_m in (1024, 2048):
+        timed(f"pallas s8->bf16 tile={tile_m}",
+              lambda t=tile_m: flat_blockmax(
+                  bank, qT, mul, add,
+                  interpret=default_interpret(), tile_m=t,
+                  int8_via_bf16=True))
 
 
 if __name__ == "__main__":
