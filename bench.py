@@ -41,6 +41,9 @@ FLAT_STRATEGY = next((a.split("=", 1)[1] for a in sys.argv
 # blockmax kernel tile size override: --flat-tile-m=4096
 FLAT_TILE_M = next((int(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--flat-tile-m=")), None)
+# serving batch override for throughput A/Bs: --batch=512
+BATCH_OVERRIDE = next((int(a.split("=", 1)[1]) for a in sys.argv
+                       if a.startswith("--batch=")), None)
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -54,7 +57,7 @@ TOPK = 10
 # in-flight batches amortize the dispatch roundtrip (sustained throughput —
 # benchmarks/bench_retrieval_latency.py separately reports single-dispatch
 # wall latency)
-QUERY_BATCH = 32 if SMALL else 128
+QUERY_BATCH = BATCH_OVERRIDE or (32 if SMALL else 128)
 N_QUERY_BATCHES = 8 if SMALL else 16
 BASELINE_QUERIES = 8 if SMALL else 16
 BASELINE_K = 256      # the reference's own defaults (hippocampal.py:114,:262)
