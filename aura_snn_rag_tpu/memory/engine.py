@@ -605,12 +605,17 @@ def _flat_kernel_ok(config: MemoryConfig, state: MemoryState,
 
 
 def select_block_candidates(bm: jax.Array, funnel_blocks: int, k: int,
-                            active_count, M: int, R: int):
+                            active_count, M: int, R: int,
+                            tile_m: Optional[int] = None):
     """Expand the top blocks of a block-max surface into candidate slots.
 
     bm: [B, n_blocks] per-block maxima of the coarse combined score
     (dead/padded blocks = NEG_INF). Returns (cand_slots [B, F],
     cand_valid [B, F]) with F = min(max(funnel_blocks, k), n_blocks)·R.
+
+    Block→slot layout: contiguous (`blocks*R + arange(R)`, the XLA
+    reshape-max paths) by default; pass `tile_m` for the Pallas kernel's
+    strided-within-tile layout (`flat_scan.block_member_slots`).
 
     Hierarchical EXACT selection: super-block maxima (xR2) -> exact top_k
     over ~n_blocks/R2 -> expand -> exact top_k over block maxima. Both
@@ -647,8 +652,13 @@ def select_block_candidates(bm: jax.Array, funnel_blocks: int, k: int,
         bvals, blocks = jax.lax.top_k(bm, kk_b)
         block_live = bvals > NEG_INF / 2
 
-    cand_slots = (blocks[..., None] * R
-                  + jnp.arange(R)[None, None, :]).reshape(B, kk_b * R)
+    if tile_m is None:
+        member = (blocks[..., None] * R
+                  + jnp.arange(R)[None, None, :])
+    else:
+        from aura_snn_rag_tpu.ops.pallas.flat_scan import block_member_slots
+        member = block_member_slots(blocks, tile_m, R)
+    cand_slots = member.reshape(B, kk_b * R)
     cand_valid = (cand_slots < active_count) \
         & jnp.repeat(block_live, R, axis=1)
     cand_slots = jnp.minimum(cand_slots, M - 1)
@@ -674,12 +684,13 @@ def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
        containment).
     """
     from aura_snn_rag_tpu.ops.pallas.flat_scan import (
-        BLOCK_R, default_interpret, flat_blockmax)
+        BLOCK_R, default_interpret, flat_blockmax, pack_row_terms)
 
     M = state.max_memories
     qn = _l2norm(queries)                                        # [B, D]
     B = qn.shape[0]
     R = BLOCK_R
+    kernel_tile_m = None          # set on the kernel path (strided blocks)
 
     ages = (state.step - state.timestamp) * config.seconds_per_step
     temporal = jnp.exp(-jnp.maximum(ages, 0.0) / config.temporal_tau)
@@ -697,15 +708,14 @@ def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
         qsg = jax.lax.stop_gradient(qn)
         Bp = max(128, ((B + 127) // 128) * 128)
         qc = _to_coarse(qsg, state.features_nb16.dtype)          # [B, D]
-        qT = jnp.pad(qc.T, ((0, 0), (0, Bp - B)))                # [D, Bp]
-        bm = flat_blockmax(state.features_nb16, qT,
-                           jax.lax.stop_gradient(
-                               mul[:, None].astype(jnp.float32)),
-                           jax.lax.stop_gradient(
-                               add[:, None].astype(jnp.float32)),
+        qp = jnp.pad(qc, ((0, Bp - B), (0, 0)))                  # [Bp, D]
+        kernel_tile_m = config.flat_tile_m
+        mul2d, add2d = pack_row_terms(
+            jax.lax.stop_gradient(mul), jax.lax.stop_gradient(add),
+            M, kernel_tile_m)
+        bm = flat_blockmax(state.features_nb16, qp, mul2d, add2d,
                            interpret=default_interpret(),
-                           tile_m=config.flat_tile_m)
-        bm = bm[:, :B].T                                         # [B, Nblk]
+                           tile_m=kernel_tile_m)[:B]             # [B, Nblk]
     else:
         cos = _coarse_cos(state.features_nb16, qn)               # [B, M]
         combined = cos * mul[None, :] + add[None, :]
@@ -723,7 +733,8 @@ def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
         bm = combined.reshape(B, -1, R).max(axis=-1)             # [B, Nblk]
 
     cand_slots, cand_valid = select_block_candidates(
-        bm, config.flat_block_funnel, k, state.active_count(), M, R)
+        bm, config.flat_block_funnel, k, state.active_count(), M, R,
+        tile_m=kernel_tile_m)
 
     cand_feats = state.features[cand_slots]                  # [B, kk_b*R, D]
     exact_cos = jnp.einsum(

@@ -99,22 +99,22 @@ def _device_decay(dev: SpillDeviceState, rate: jax.Array) -> SpillDeviceState:
                    static_argnames=("funnel_blocks", "k", "w_cosine",
                                     "w_temporal", "temporal_tau",
                                     "seconds_per_step", "use_kernel"))
-def _device_funnel(dev: SpillDeviceState, qT: jax.Array,
+def _device_funnel(dev: SpillDeviceState, q: jax.Array,
                    active_count: jax.Array, step: jax.Array, *,
                    funnel_blocks: int, k: int, w_cosine: float,
                    w_temporal: float, temporal_tau: float,
                    seconds_per_step: float, use_kernel: bool):
     """Phase 1 on device: coarse scan -> funnel candidate slots + metadata.
 
-    qT: [D, Bp] coarse-dtype queries, pre-transposed, Bp a multiple of 128
-    (kernel path) — the caller slices the true B back out.
+    q: [Bp, D] coarse-dtype queries, Bp a multiple of 128 (kernel path) —
+    the caller slices the true B back out.
     Returns (cand_slots [Bp, F] i32, strength_c [Bp, F] f32,
     add_c [Bp, F] f32) where add_c is the temporal additive term with
     NEG_INF marking dead/invalid candidates. Host rerank computes
     ``w_cosine * strength_c * cos_f32 + add_c`` (+ optional spatial).
     """
     from aura_snn_rag_tpu.ops.pallas.flat_scan import (
-        BLOCK_R, default_interpret, flat_blockmax)
+        BLOCK_R, TILE_M, default_interpret, flat_blockmax, pack_row_terms)
 
     M = dev.max_memories
     R = BLOCK_R
@@ -124,20 +124,20 @@ def _device_funnel(dev: SpillDeviceState, qT: jax.Array,
     mul = jnp.where(active, w_cosine * dev.strength, 0.0)
     add = jnp.where(active, w_temporal * temporal * dev.strength, NEG_INF)
 
+    kernel_tile_m = None          # set on the kernel path (strided blocks)
     if use_kernel:
-        bm = flat_blockmax(dev.coarse, qT,
-                           mul[:, None].astype(jnp.float32),
-                           add[:, None].astype(jnp.float32),
-                           interpret=default_interpret())
-        bm = bm.T                                            # [Bp, Nblk]
+        kernel_tile_m = TILE_M
+        mul2d, add2d = pack_row_terms(mul, add, M, kernel_tile_m)
+        bm = flat_blockmax(dev.coarse, q, mul2d, add2d,
+                           interpret=default_interpret())   # [Bp, Nblk]
     else:  # XLA fallback (CPU tests): same math, [Bp, M] materialized
         if dev.coarse.dtype == jnp.int8:
-            acc = jnp.einsum("md,db->bm", dev.coarse, qT,
+            acc = jnp.einsum("md,bd->bm", dev.coarse, q,
                              preferred_element_type=jnp.int32)
             cos = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
         else:
-            cos = jnp.einsum("md,db->bm", dev.coarse,
-                             qT).astype(jnp.float32)
+            cos = jnp.einsum("md,bd->bm", dev.coarse,
+                             q).astype(jnp.float32)
         combined = cos * mul[None, :] + add[None, :]
         pad = (-M) % R
         if pad:
@@ -146,7 +146,7 @@ def _device_funnel(dev: SpillDeviceState, qT: jax.Array,
         bm = combined.reshape(combined.shape[0], -1, R).max(axis=-1)
 
     cand_slots, cand_valid = select_block_candidates(
-        bm, funnel_blocks, k, active_count, M, R)
+        bm, funnel_blocks, k, active_count, M, R, tile_m=kernel_tile_m)
     strength_c = dev.strength[cand_slots]
     add_c = jnp.where(cand_valid, add[cand_slots], NEG_INF)
     return cand_slots.astype(jnp.int32), strength_c, add_c
@@ -230,9 +230,9 @@ class SpilledBank:
         Bp = max(128, -(-B // 128) * 128) if use_kernel else B
         qc = np.asarray(
             _to_coarse(jnp.asarray(qn), self.dev.coarse.dtype))
-        qT = np.zeros((qc.shape[1], Bp), qc.dtype)
-        qT[:, :B] = qc.T
-        return qn, jnp.asarray(qT), B, use_kernel
+        qp = np.zeros((Bp, qc.shape[1]), qc.dtype)
+        qp[:B] = qc
+        return qn, jnp.asarray(qp), B, use_kernel
 
     def _kernel_ok(self) -> bool:
         if self.config.feature_dim % 128 != 0:
@@ -241,10 +241,10 @@ class SpilledBank:
         return pallas_available()
 
     def _dispatch_funnel(self, queries: np.ndarray):
-        qn, qT, B, use_kernel = self._prep_queries(queries)
+        qn, qp, B, use_kernel = self._prep_queries(queries)
         cfg = self.config
         out = _device_funnel(
-            self.dev, qT, jnp.int32(self.active_count),
+            self.dev, qp, jnp.int32(self.active_count),
             jnp.float32(self.step),
             funnel_blocks=cfg.flat_block_funnel, k=cfg.retrieve_k,
             w_cosine=cfg.w_cosine, w_temporal=cfg.w_temporal,

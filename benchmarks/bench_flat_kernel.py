@@ -33,7 +33,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from aura_snn_rag_tpu.ops.pallas.flat_scan import (
-        BLOCK_R, default_interpret, flat_blockmax)
+        BLOCK_R, default_interpret, flat_blockmax, pack_row_terms)
 
     rng = np.random.RandomState(0)
     feats = rng.randn(M, D).astype(np.float32)
@@ -48,9 +48,9 @@ def main():
         bank = jnp.asarray(feats, jnp.bfloat16)
         q = jnp.asarray(feats[:B], jnp.bfloat16)
         inv = None
-    qT = q.T
-    mul = jnp.ones((M, 1), jnp.float32)        # cosine units (dequant is
-    add = jnp.zeros((M, 1), jnp.float32)       # in-kernel for int8)
+    mul1 = jnp.ones((M,), jnp.float32)         # cosine units (dequant is
+    add1 = jnp.zeros((M,), jnp.float32)        # in-kernel for int8)
+    packed = {t: pack_row_terms(mul1, add1, M, t) for t in (1024, 2048)}
     bank_bytes = M * D * (1 if DTYPE == "int8" else 2)
 
     def fence(x):
@@ -72,20 +72,20 @@ def main():
     # Operands ride as ARGUMENTS (closing over the 768 MB bank would embed
     # it as a compile-time constant in the remote-compile request → HTTP 413).
     @jax.jit
-    def xla_scan(bank, qT, mul, add):
+    def xla_scan(bank, q, mul, add):
         acc = jax.lax.dot_general(
-            bank, qT, (((1,), (0,)), ((), ())),
+            q, bank, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32 if inv else jnp.float32)
-        cos = acc.astype(jnp.float32) * (inv or 1.0)
-        combined = cos * mul + add
-        return combined.reshape(-1, BLOCK_R, B).max(axis=1)
+        cos = acc.astype(jnp.float32) * (inv or 1.0)                # [B, M]
+        combined = cos * mul[None, :] + add[None, :]
+        return combined.reshape(B, -1, BLOCK_R).max(axis=-1)
 
-    timed("xla coarse+blockmax", lambda: xla_scan(bank, qT, mul, add))
+    timed("xla coarse+blockmax", lambda: xla_scan(bank, q, mul1, add1))
 
     for tile_m in (1024, 2048):
         timed(f"pallas s8-native tile={tile_m}",
               lambda t=tile_m: flat_blockmax(
-                  bank, qT, mul, add,
+                  bank, q, *packed[t],
                   interpret=default_interpret(), tile_m=t,
                   int8_via_bf16=False))
     # int8 storage, bf16 MXU compute (exact: products <= 127^2 and 768-term
@@ -94,7 +94,7 @@ def main():
     for tile_m in (1024, 2048):
         timed(f"pallas s8->bf16 tile={tile_m}",
               lambda t=tile_m: flat_blockmax(
-                  bank, qT, mul, add,
+                  bank, q, *packed[t],
                   interpret=default_interpret(), tile_m=t,
                   int8_via_bf16=True))
 
