@@ -96,6 +96,12 @@ class MemoryConfig:
     # exact f32 rerank restores exactness on the survivors.
     # (Only used by flat_strategy="scan".)
     flat_score_dtype: str = "f32"
+    # approx_max_k recall target for the flat scan's coarse funnel (the
+    # exact f32 rerank restores exactness on the survivors, so end recall
+    # is governed by funnel width x this). Raise toward 0.99 with int8
+    # coarse banks where quantization near-ties push true top-k items
+    # deeper into the coarse ordering. (Only used by flat_strategy="scan".)
+    flat_funnel_recall: float = 0.95
     # Flat-scan strategy: "blockmax" streams the bank once through the
     # Pallas block-max kernel (no [B, M] materialization, hierarchical
     # EXACT funnel selection — see ops/pallas/flat_scan.py); "scan" is the

@@ -567,7 +567,8 @@ def _retrieve_flat_scan(config: MemoryConfig, state: MemoryState,
     # TPU-native approximate top-k (hardware MIPS path): the exact f32
     # rerank below absorbs the small recall slack. Exact sort-based top_k
     # over a 1M-wide row costs ~20 ms; approx_max_k is ~an order cheaper.
-    _, pick = jax.lax.approx_max_k(combined, kk, recall_target=0.95)
+    _, pick = jax.lax.approx_max_k(
+        combined, kk, recall_target=config.flat_funnel_recall)
     cand_valid = jnp.take_along_axis(
         jnp.broadcast_to(active[None, :], combined.shape), pick, axis=1)
 

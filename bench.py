@@ -44,6 +44,12 @@ FLAT_TILE_M = next((int(a.split("=", 1)[1]) for a in sys.argv
 # serving batch override for throughput A/Bs: --batch=512
 BATCH_OVERRIDE = next((int(a.split("=", 1)[1]) for a in sys.argv
                        if a.startswith("--batch=")), None)
+# exact-rerank funnel width override: --rerank=384
+RERANK = next((int(a.split("=", 1)[1]) for a in sys.argv
+               if a.startswith("--rerank=")), None)
+# flat coarse-funnel approx_max_k recall target: --flat-recall=0.99
+FLAT_RECALL = next((float(a.split("=", 1)[1]) for a in sys.argv
+                    if a.startswith("--flat-recall=")), None)
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -114,6 +120,10 @@ def tpu_bench(feats, queries):
         kernel_kw["flat_strategy"] = FLAT_STRATEGY
     if FLAT_TILE_M:
         kernel_kw["flat_tile_m"] = FLAT_TILE_M
+    if RERANK:
+        kernel_kw["rerank_candidates"] = RERANK
+    if FLAT_RECALL:
+        kernel_kw["flat_funnel_recall"] = FLAT_RECALL
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0,
