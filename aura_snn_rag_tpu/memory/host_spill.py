@@ -165,8 +165,12 @@ class SpilledBank:
         self.dev = _init_device(M, D, coarse_dtype)
         if device is not None:
             self.dev = jax.device_put(self.dev, device)
-        # host half: exact rows + locations (plain RAM, no device copy)
+        # host half: exact rows + locations (plain RAM, no device copy).
+        # Inverse row norms are precomputed at write time so the exact
+        # rerank is one raw-row einsum + scale (no per-query normalize
+        # pass over the [B, F, D] gather).
         self.host_features = np.zeros((M, D), np.float32)
+        self.host_inv_norm = np.zeros((M,), np.float32)
         self.host_locations = np.zeros((M, config.spatial_dims), np.float32)
         self.count = 0          # total writes ever (ring cursor = count % M)
         self.step = 0.0         # logical clock
@@ -188,6 +192,8 @@ class SpilledBank:
                 locations = locations[-M:]
             B = M
         self.host_features[slots] = feats
+        self.host_inv_norm[slots] = 1.0 / (
+            np.linalg.norm(feats, axis=1) + 1e-12)
         if locations is not None:
             self.host_locations[slots] = np.asarray(locations, np.float32)
         else:
@@ -257,8 +263,8 @@ class SpilledBank:
         cand_slots, strength_c, add_c = (np.asarray(x)[:B] for x in funnel)
         cfg = self.config
         rows = self.host_features[cand_slots]            # [B, F, D] gather
-        rn = rows / (np.linalg.norm(rows, axis=-1, keepdims=True) + 1e-12)
-        cos = np.einsum("bfd,bd->bf", rn, qn, dtype=np.float32)
+        cos = np.einsum("bfd,bd->bf", rows, qn, dtype=np.float32) \
+            * self.host_inv_norm[cand_slots]
         score = cfg.w_cosine * strength_c * cos + add_c
         if query_locations is not None:
             d = np.sqrt(np.sum(
