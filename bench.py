@@ -27,14 +27,17 @@ import numpy as np
 SMALL = "--small" in sys.argv
 # coarse flat-scan precision: int8 halves the bandwidth-bound bank read
 # (same exact f32 rerank). Default int8 — validated at full scale on chip:
-# 26,606 QPS @ recall@10 = 1.00 vs 24.6k bf16 (--bf16 to compare).
+# 26,606 QPS @ recall@10 = 1.00 vs 24.6k bf16 (--bf16 to compare) at
+# B=128; 55,242 QPS at the B=1024 default (bank read amortized over 8x
+# the queries — benchmarks/bench_flat_batch_sweep.py).
 COARSE_DTYPE = "bf16" if "--bf16" in sys.argv else "int8"
 # IVF kernel generation override for A/B runs: --kernel=v2|v3|v3r
 IVF_KERNEL = next((a.split("=", 1)[1] for a in sys.argv
                    if a.startswith("--kernel=")), None)
-# flat funnel-score chain dtype override: --flat-score=bf16
+# flat funnel-score chain dtype override (default bf16: halves the [B, M]
+# funnel traffic; exactness lives in the f32 rerank): --flat-score=f32
 FLAT_SCORE = next((a.split("=", 1)[1] for a in sys.argv
-                   if a.startswith("--flat-score=")), None)
+                   if a.startswith("--flat-score=")), "bf16")
 # flat scan strategy A/B override: --flat-strategy=blockmax|scan
 FLAT_STRATEGY = next((a.split("=", 1)[1] for a in sys.argv
                       if a.startswith("--flat-strategy=")), None)
@@ -44,9 +47,11 @@ FLAT_TILE_M = next((int(a.split("=", 1)[1]) for a in sys.argv
 # serving batch override for throughput A/Bs: --batch=512
 BATCH_OVERRIDE = next((int(a.split("=", 1)[1]) for a in sys.argv
                        if a.startswith("--batch=")), None)
-# exact-rerank funnel width override: --rerank=384
+# exact-rerank funnel width (default 384: at B=1024 the extra funnel
+# gather costs ~5% QPS and absorbs int8-coarse near-tie misses that a
+# 128-wide funnel lets through): --rerank=128
 RERANK = next((int(a.split("=", 1)[1]) for a in sys.argv
-               if a.startswith("--rerank=")), None)
+               if a.startswith("--rerank=")), 384)
 # flat coarse-funnel approx_max_k recall target: --flat-recall=0.99
 FLAT_RECALL = next((float(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--flat-recall=")), None)
@@ -63,7 +68,7 @@ TOPK = 10
 # in-flight batches amortize the dispatch roundtrip (sustained throughput —
 # benchmarks/bench_retrieval_latency.py separately reports single-dispatch
 # wall latency)
-QUERY_BATCH = BATCH_OVERRIDE or (32 if SMALL else 128)
+QUERY_BATCH = BATCH_OVERRIDE or (32 if SMALL else 1024)
 N_QUERY_BATCHES = 8 if SMALL else 16
 BASELINE_QUERIES = 8 if SMALL else 16
 BASELINE_K = 256      # the reference's own defaults (hippocampal.py:114,:262)
