@@ -133,11 +133,17 @@ def _kernel(bank_ref, q_ref, mul_ref, add_ref, out_ref, *, total_rows,
     # combined = w_c*strength*cos + (w_t*temporal*strength) per row, with
     # inactive rows already carrying add = NEG_INF from the caller.
     # mul/add ride in (8, tile_m) blocks (sublane-divisibility rule); this
-    # step's row is a dynamic sublane slice -> [1, tile_m], then a native
+    # step's row is selected by a masked cross-sublane sum (plain VPU ops,
+    # no dynamic-slice support needed) -> [1, tile_m], then a native
     # sublane broadcast against [B, tile_m].
     r = jax.lax.rem(i, 8)
-    combined = (cos * mul_ref[pl.ds(r, 1), :]
-                + add_ref[pl.ds(r, 1), :])
+    row_mask = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r) \
+        .astype(jnp.float32)
+    mul_row = jnp.sum(mul_ref[...] * row_mask, axis=0, keepdims=True)
+    # add rows can be NEG_INF: select via where, not arithmetic (0 * -inf)
+    add_row = jnp.max(jnp.where(row_mask > 0, add_ref[...], -jnp.inf),
+                      axis=0, keepdims=True)
+    combined = cos * mul_row + add_row
     # mask the padded tail of the final tile (M need not divide tile_m)
     col = i * tile_m + jax.lax.broadcasted_iota(
         jnp.int32, (1, tile_m), 1)
