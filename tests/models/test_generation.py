@@ -52,6 +52,30 @@ class TestGenerate:
         assert (np.asarray(out) >= 0).all()
         assert (np.asarray(out) < cfg.vocab_size).all()
 
+    def test_greedy_cached_matches_full_recompute(self):
+        """Greedy decode through the KV cache must emit the IDENTICAL token
+        sequence as the reference's recompute-the-whole-prefix scheme
+        (snn_rag_transformer.py:166-244) — the decode path's correctness
+        contract, independent of per-step logits tolerance."""
+        cfg = dataclasses.replace(get_debug_config().model, dropout=0.0)
+        model = HippocampalTransformer(cfg)
+        ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        T = 8
+        out = generate(model, params, ids, max_new_tokens=T,
+                       rng=jax.random.PRNGKey(1), top_k=1,
+                       temperature=1.0, repetition_penalty=1.0)
+        cached_tokens = np.asarray(out[0, ids.shape[1]:])
+
+        seq = ids
+        ref_tokens = []
+        for _ in range(T):
+            full, _ = model.apply(params, seq, use_memory=False)
+            nxt = jnp.argmax(full.logits[:, -1], axis=-1).astype(jnp.int32)
+            ref_tokens.append(int(nxt[0]))
+            seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
+        np.testing.assert_array_equal(cached_tokens, np.asarray(ref_tokens))
+
     def test_eos_padding(self):
         cfg = dataclasses.replace(get_debug_config().model, dropout=0.0)
         model = HippocampalTransformer(cfg)
