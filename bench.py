@@ -47,11 +47,14 @@ FLAT_TILE_M = next((int(a.split("=", 1)[1]) for a in sys.argv
 # serving batch override for throughput A/Bs: --batch=512
 BATCH_OVERRIDE = next((int(a.split("=", 1)[1]) for a in sys.argv
                        if a.startswith("--batch=")), None)
-# exact-rerank funnel width (default 384: at B=1024 the extra funnel
-# gather costs ~5% QPS and absorbs int8-coarse near-tie misses that a
-# 128-wide funnel lets through): --rerank=128
+# exact-rerank funnel width (default 128). Measured on chip at B=1024/bf16
+# @1M×768: 128-wide = 55.2k QPS recall@10 0.9969; 384-wide = 28.6k QPS
+# recall 0.9984 (runs/bench_headline_rerank384.out — the wider funnel's
+# gather+rerank costs 48%, not the ~5% first estimated, for +0.15% recall).
+# Recall-first serving should raise --flat-recall instead: 0.99 measured
+# recall 1.000 at 10.9k QPS. Override: --rerank=384
 RERANK = next((int(a.split("=", 1)[1]) for a in sys.argv
-               if a.startswith("--rerank=")), 384)
+               if a.startswith("--rerank=")), 128)
 # flat coarse-funnel approx_max_k recall target: --flat-recall=0.99
 FLAT_RECALL = next((float(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--flat-recall=")), None)
