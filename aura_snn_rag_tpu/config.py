@@ -105,11 +105,13 @@ class MemoryConfig:
     # Flat-scan strategy: "blockmax" streams the bank once through the
     # Pallas block-max kernel (no [B, M] materialization, hierarchical
     # EXACT funnel selection — see ops/pallas/flat_scan.py); "scan" is the
-    # [B, M] + approx_max_k XLA path. Default "scan": on-chip it measured
-    # 25-26k QPS @1M×768 vs blockmax@tile1024's 12.7k — the kernel's
-    # per-grid-step overhead dominates at the default tile
-    # (benchmarks/bench_flat_kernel.py attributes it; flip the default
-    # when a tile size wins the A/B).
+    # [B, M] + approx_max_k XLA path. Default "scan": it holds the B=1024
+    # serving-batch headline (56.2k QPS @1M×768, runs/
+    # bench_headline_defaults.out). The reworked kernel wins the ISOLATED
+    # coarse stage at B=128 (s8-native tile=2048 4.60 ms vs XLA 6.30 ms,
+    # runs/flat_kernel_ab_v2.out) and is the coarse engine of the
+    # host-spilled bank (memory/host_spill.py), where a [B, M]
+    # materialization cannot exist at 10M rows.
     flat_strategy: str = "scan"
     # Number of 8-row blocks whose members get the exact f32 rerank in the
     # blockmax path (funnel width = 8x this). 64 blocks = 512 reranked

@@ -44,6 +44,9 @@ FLAT_STRATEGY = next((a.split("=", 1)[1] for a in sys.argv
 # blockmax kernel tile size override: --flat-tile-m=4096
 FLAT_TILE_M = next((int(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--flat-tile-m=")), None)
+# blockmax rerank funnel width in 8-row blocks: --flat-block-funnel=16
+FLAT_BLOCK_FUNNEL = next((int(a.split("=", 1)[1]) for a in sys.argv
+                          if a.startswith("--flat-block-funnel=")), None)
 # serving batch override for throughput A/Bs: --batch=512
 BATCH_OVERRIDE = next((int(a.split("=", 1)[1]) for a in sys.argv
                        if a.startswith("--batch=")), None)
@@ -128,6 +131,8 @@ def tpu_bench(feats, queries):
         kernel_kw["flat_strategy"] = FLAT_STRATEGY
     if FLAT_TILE_M:
         kernel_kw["flat_tile_m"] = FLAT_TILE_M
+    if FLAT_BLOCK_FUNNEL:
+        kernel_kw["flat_block_funnel"] = FLAT_BLOCK_FUNNEL
     if RERANK:
         kernel_kw["rerank_candidates"] = RERANK
     if FLAT_RECALL:

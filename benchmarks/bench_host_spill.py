@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 SMALL = "--small" in sys.argv
-N = 1_000_000 if SMALL else 10_000_000
+N = next((int(a.split("=", 1)[1]) for a in sys.argv
+          if a.startswith("--n=")), 1_000_000 if SMALL else 10_000_000)
 D = 768
 TOPK = 10
 QUERY_BATCH = 128
@@ -32,6 +33,13 @@ N_QUERY_BATCHES = 8 if SMALL else 16
 N_EVAL = 64          # queries scored against exact ground truth
 N_CENTERS = 4096
 CHUNK = 262_144
+# Per-stage attribution of the retrieve_stream pipeline (device funnel /
+# device->host transfer / host rerank), printed before the JSON line:
+BREAKDOWN = "--breakdown" in sys.argv
+# Funnel width A/B: blocks of 8 rows reranked per query (default 64 = 512
+# rows; 16 = 128 rows matches the device-resident scan's default funnel).
+FUNNEL_BLOCKS = next((int(a.split("=", 1)[1]) for a in sys.argv
+                      if a.startswith("--funnel-blocks=")), 64)
 
 
 def chunk_factory(seed0=0):
@@ -55,7 +63,7 @@ def main():
 
     cfg = MemoryConfig(
         max_memories=N, feature_dim=D, retrieve_k=TOPK,
-        coarse_dtype="int8", flat_block_funnel=64,
+        coarse_dtype="int8", flat_block_funnel=FUNNEL_BLOCKS,
         # unused index knobs kept tiny (the spilled bank is flat-funnel)
         k_centroids=16, n_place_cells=8, n_grid_cells=4, n_time_cells=2)
     bank = SpilledBank(cfg)
@@ -72,7 +80,7 @@ def main():
     # and would dwarf the measurement itself.
     rngq = np.random.RandomState(7)
     n_q = QUERY_BATCH * N_QUERY_BATCHES
-    q_off = rngq.randint(0, N - CHUNK, n_q)
+    q_off = rngq.randint(0, max(1, N - CHUNK), n_q)
     queries = bank.host_features[q_off].astype(np.float32).copy()
     queries += 0.5 * rngq.randn(n_q, D).astype(np.float32)
 
@@ -83,6 +91,35 @@ def main():
     t0 = time.perf_counter()
     results = bank.retrieve_stream(batches)
     qps = n_q / (time.perf_counter() - t0)
+
+    if BREAKDOWN:
+        # Per-stage attribution. Dispatch is async, so "device" is fenced
+        # with a 1-element transfer of the LAST output; "transfer" then
+        # pulls the full funnel arrays; "rerank" reruns the host math on
+        # the already-transferred operands.
+        t0 = time.perf_counter()
+        inflight = [bank._dispatch_funnel(b) for b in batches]
+        dispatch_s = time.perf_counter() - t0
+        np.asarray(inflight[-1][2][0][:1, :1])             # device fence
+        device_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pulled = [tuple(np.asarray(x) for x in f) for _, _, f in inflight]
+        transfer_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for (qn_b, B, _), f in zip(inflight, pulled):
+            bank._host_rerank(qn_b, B, f, TOPK, None)
+        rerank_s = time.perf_counter() - t0
+        funnel_bytes = sum(x.nbytes for x in pulled[0])
+        print(json.dumps({
+            "breakdown_per_batch_ms": {
+                "dispatch": round(dispatch_s / len(batches) * 1e3, 1),
+                "device_funnel": round(device_s / len(batches) * 1e3, 1),
+                "transfer": round(transfer_s / len(batches) * 1e3, 1),
+                "host_rerank": round(rerank_s / len(batches) * 1e3, 1),
+            },
+            "funnel_bytes_per_batch": funnel_bytes,
+            "funnel_blocks": FUNNEL_BLOCKS, "n_vectors": N,
+        }), flush=True)
 
     # exact ground truth, chunkwise over the host f32 bank
     qn = queries[:N_EVAL] / (np.linalg.norm(
