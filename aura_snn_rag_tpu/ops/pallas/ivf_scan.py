@@ -159,8 +159,8 @@ def ivf_topk_scores(clustered: jax.Array, aux: jax.Array,
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),      # flat bank (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),      # aux rows (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # flat bank (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # aux rows (HBM)
                 pl.BlockSpec((1, 8, D), lambda b, idx: (b, 0, 0)),
             ],
             out_specs=[
@@ -287,8 +287,8 @@ def ivf_candidates(clustered: jax.Array, aux: jax.Array,
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),      # flat bank (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),      # aux rows (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # flat bank (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # aux rows (HBM)
                 pl.BlockSpec((1, 8, D), lambda b, idx: (b, 0, 0)),
             ],
             out_specs=[
@@ -513,9 +513,9 @@ def ivf_retrieve_fused(clustered: jax.Array, aux: jax.Array,
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),      # clustered (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),      # aux rows (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),      # f32 bank (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # clustered (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # aux rows (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # f32 bank (HBM)
                 pl.BlockSpec((1, 8, D), lambda b, idx: (b, 0, 0)),
             ],
             out_specs=[
@@ -604,7 +604,7 @@ def ivf_scan_scores(clustered: jax.Array, queries_norm: jax.Array,
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),      # flat bank (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # flat bank (HBM)
                 pl.BlockSpec((1, 8, D), lambda b, idx: (b, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, P, C), lambda b, idx: (b, 0, 0)),
