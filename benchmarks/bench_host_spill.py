@@ -28,8 +28,12 @@ N = next((int(a.split("=", 1)[1]) for a in sys.argv
           if a.startswith("--n=")), 1_000_000 if SMALL else 10_000_000)
 D = 768
 TOPK = 10
-QUERY_BATCH = 128
-N_QUERY_BATCHES = 8 if SMALL else 16
+# Serving batch per device-funnel dispatch. The funnel is bank-read-bound
+# (7.3 GB int8 at 10M rows), so the batch amortizes the read exactly like
+# the device-resident headline path (--batch=1024 there): --batch=1024
+QUERY_BATCH = next((int(a.split("=", 1)[1]) for a in sys.argv
+                    if a.startswith("--batch=")), 128)
+N_QUERY_BATCHES = max(2, (1024 if SMALL else 2048) // QUERY_BATCH)
 N_EVAL = 64          # queries scored against exact ground truth
 N_CENTERS = 4096
 CHUNK = 262_144
