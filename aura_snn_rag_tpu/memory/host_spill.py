@@ -311,10 +311,39 @@ class SpilledBank:
         return self._host_rerank(qn, B, funnel, k, query_locations)
 
     def retrieve_stream(self, query_batches: Sequence[np.ndarray],
-                        k: Optional[int] = None) -> List[RetrievalResult]:
+                        k: Optional[int] = None,
+                        coalesce: int = 1024) -> List[RetrievalResult]:
         """Pipelined batch retrieval: all device funnels dispatched before
-        the first host rerank (async JAX dispatch = free overlap)."""
+        the first host rerank (async JAX dispatch = free overlap).
+
+        Consecutive batches are COALESCED into funnel dispatches of up to
+        `coalesce` queries: the device funnel is a full coarse-bank read
+        (7.3 GB at 10M rows int8), so the dispatch batch amortizes it —
+        the same serving-batch lever that took the device-resident flat
+        scan 26k -> 56k QPS (B=128 -> 1024). Per-query funnels are
+        independent, so packing/splitting is exact. Results come back in
+        the caller's batch structure."""
         k = k or self.config.retrieve_k
-        inflight = [self._dispatch_funnel(q) for q in query_batches]
-        return [self._host_rerank(qn, B, f, k, None)
-                for qn, B, f in inflight]
+        sizes = [np.asarray(q).shape[0] for q in query_batches]
+        packs: List[List[int]] = [[]]          # indices into query_batches
+        acc = 0
+        for i, s in enumerate(sizes):
+            if packs[-1] and acc + s > coalesce:
+                packs.append([])
+                acc = 0
+            packs[-1].append(i)
+            acc += s
+        inflight = [self._dispatch_funnel(
+            np.concatenate([np.asarray(query_batches[i], np.float32)
+                            for i in pack], axis=0)) for pack in packs]
+        out: List[RetrievalResult] = [None] * len(query_batches)  # type: ignore
+        for pack, (qn, B, f) in zip(packs, inflight):
+            res = self._host_rerank(qn, B, f, k, None)
+            off = 0
+            for i in pack:
+                s = sizes[i]
+                out[i] = RetrievalResult(res.indices[off:off + s],
+                                         res.scores[off:off + s],
+                                         res.features[off:off + s])
+                off += s
+        return out

@@ -93,7 +93,8 @@ def main():
                for i in range(N_QUERY_BATCHES)]
     bank.retrieve(batches[0][:8])                          # warm/compile
     t0 = time.perf_counter()
-    results = bank.retrieve_stream(batches)
+    # coalesce pinned to the dispatch batch so --batch is the only knob
+    results = bank.retrieve_stream(batches, coalesce=QUERY_BATCH)
     qps = n_q / (time.perf_counter() - t0)
 
     if BREAKDOWN:

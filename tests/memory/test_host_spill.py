@@ -142,6 +142,24 @@ def test_retrieve_stream_matches_single():
         np.testing.assert_allclose(rs.scores, r.scores, rtol=1e-6)
 
 
+def test_retrieve_stream_coalesce_exact():
+    """Coalesced funnel dispatches split back to the caller's (uneven)
+    batch structure with per-query results identical to lone retrieves,
+    at every coalesce width (1 query/dispatch up to everything packed)."""
+    cfg = _cfg()
+    bank = SpilledBank(cfg)
+    bank.write(_data(256, cfg.feature_dim, seed=20))
+    batches = [_data(n, cfg.feature_dim, seed=30 + n) for n in (3, 16, 7, 16)]
+    singles = [bank.retrieve(q, k=5) for q in batches]
+    for width in (1, 16, 23, 10_000):
+        streamed = bank.retrieve_stream(batches, k=5, coalesce=width)
+        assert len(streamed) == len(batches)
+        for q, rs, r in zip(batches, streamed, singles):
+            assert rs.indices.shape == (q.shape[0], 5)
+            np.testing.assert_array_equal(rs.indices, r.indices)
+            np.testing.assert_allclose(rs.scores, r.scores, rtol=1e-6)
+
+
 def test_kernel_path_matches_xla_fallback(monkeypatch):
     """Interpret-mode Pallas kernel == XLA fallback math on CPU."""
     cfg = _cfg()
