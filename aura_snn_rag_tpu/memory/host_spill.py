@@ -15,11 +15,14 @@ O(100M) rows on one chip by splitting the bank across the memory hierarchy:
 A query is a two-phase funnel:
 
 1. device coarse scan (``flat_blockmax`` -> ``select_block_candidates``,
-   the provable-containment block funnel) -> ``[B, F]`` candidate slots
-   with their affine metadata terms;
+   the provable-containment block funnel) -> ``[B, F]`` signed candidate
+   slot ids (-1 = dead lane) — the only device->host traffic;
 2. host gathers ONLY the funnel rows (F = funnel_blocks*8 per query, block-
    contiguous so the gather is sequential) and runs the exact f32 rerank
-   (cosine at full precision + spatial/temporal terms) in numpy.
+   (cosine at full precision + spatial/temporal terms) in numpy, with the
+   strength/temporal terms recomputed from host-side mirrors of the
+   metadata (bit-exact: every mutation is host-initiated and applies the
+   same f32 ops to both copies).
 
 This deliberately inverts the naive "clusters on host RAM, DMA probed
 blocks to device" layout: with the coarse bank resident in HBM, steady-state
@@ -115,10 +118,12 @@ def _device_funnel(dev: SpillDeviceState, q: jax.Array,
 
     q: [Bp, D] coarse-dtype queries, Bp a multiple of 128 (kernel path) —
     the caller slices the true B back out.
-    Returns (cand_slots [Bp, F] i32, strength_c [Bp, F] f32,
-    add_c [Bp, F] f32) where add_c is the temporal additive term with
-    NEG_INF marking dead/invalid candidates. Host rerank computes
-    ``w_cosine * strength_c * cos_f32 + add_c`` (+ optional spatial).
+    Returns cand_slots [Bp, F] i32 with -1 marking dead/invalid
+    candidates — the ONLY downstream traffic (the host mirrors
+    strength/timestamp, so the exact rerank's metadata terms come from
+    host RAM instead of two extra device gathers + 2/3 more
+    device->host bytes; at 10M the 786 KB 3-array funnel cost ~103 ms
+    of the measured ~7.6 MB/s tunnel downlink per 128-query batch).
     """
     from aura_snn_rag_tpu.ops.pallas.flat_scan import (
         BLOCK_R, TILE_M, default_interpret, flat_blockmax, pack_row_terms)
@@ -154,9 +159,7 @@ def _device_funnel(dev: SpillDeviceState, q: jax.Array,
 
     cand_slots, cand_valid = select_block_candidates(
         bm, funnel_blocks, k, active_count, M, R, tile_m=kernel_tile_m)
-    strength_c = dev.strength[cand_slots]
-    add_c = jnp.where(cand_valid, add[cand_slots], NEG_INF)
-    return cand_slots.astype(jnp.int32), strength_c, add_c
+    return jnp.where(cand_valid, cand_slots, -1).astype(jnp.int32)
 
 
 class SpilledBank:
@@ -179,6 +182,13 @@ class SpilledBank:
         self.host_features = np.zeros((M, D), np.float32)
         self.host_inv_norm = np.zeros((M,), np.float32)
         self.host_locations = np.zeros((M, config.spatial_dims), np.float32)
+        # strength/timestamp mirrors: every mutation (write/decay) is
+        # host-initiated, so the host can track them exactly — the device
+        # funnel then returns ONLY slot ids and the rerank's metadata
+        # terms are computed from RAM (no device gathers, 1/3 the
+        # device->host transfer).
+        self.host_strength = np.zeros((M,), np.float32)
+        self.host_timestamp = np.zeros((M,), np.float32)
         self.count = 0          # total writes ever (ring cursor = count % M)
         self.step = 0.0         # logical clock
 
@@ -205,6 +215,8 @@ class SpilledBank:
             self.host_locations[slots] = np.asarray(locations, np.float32)
         else:
             self.host_locations[slots] = 0.0
+        self.host_strength[slots] = 1.0
+        self.host_timestamp[slots] = self.step
         rows = _host_coarse(feats, self.dev.coarse.dtype)
         # The ring write is at most two contiguous segments — use the
         # dynamic_update_slice path (block copy) instead of a row scatter.
@@ -233,6 +245,7 @@ class SpilledBank:
 
     def decay(self, rate: float = 0.01) -> None:
         self.dev = _device_decay(self.dev, jnp.float32(rate))
+        self.host_strength *= np.float32(1.0 - rate)
 
     def tick(self, steps: float = 1.0) -> None:
         self.step += steps
@@ -275,8 +288,19 @@ class SpilledBank:
 
     def _host_rerank(self, qn: np.ndarray, B: int, funnel, k: int,
                      query_locations: Optional[np.ndarray]):
-        cand_slots, strength_c, add_c = (np.asarray(x)[:B] for x in funnel)
+        slots_signed = np.asarray(funnel)[:B]            # [B, F], -1 = dead
         cfg = self.config
+        live = slots_signed >= 0
+        cand_slots = np.maximum(slots_signed, 0)
+        # metadata terms from the host mirrors (bit-exact with the device
+        # arrays: writes/decay apply the same f32 ops to both)
+        strength_c = self.host_strength[cand_slots]
+        ages = (np.float32(self.step) - self.host_timestamp[cand_slots]) \
+            * np.float32(cfg.seconds_per_step)
+        temporal = np.exp(-np.maximum(ages, 0.0) / np.float32(cfg.temporal_tau))
+        add_c = np.where(live,
+                         np.float32(cfg.w_temporal) * temporal * strength_c,
+                         np.float32(NEG_INF)).astype(np.float32)
         rows = self.host_features[cand_slots]            # [B, F, D] gather
         cos = np.einsum("bfd,bd->bf", rows, qn, dtype=np.float32) \
             * self.host_inv_norm[cand_slots]

@@ -105,16 +105,16 @@ def main():
         t0 = time.perf_counter()
         inflight = [bank._dispatch_funnel(b) for b in batches]
         dispatch_s = time.perf_counter() - t0
-        np.asarray(inflight[-1][2][0][:1, :1])             # device fence
+        np.asarray(inflight[-1][2][:1, :1])                # device fence
         device_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        pulled = [tuple(np.asarray(x) for x in f) for _, _, f in inflight]
+        pulled = [np.asarray(f) for _, _, f in inflight]
         transfer_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for (qn_b, B, _), f in zip(inflight, pulled):
             bank._host_rerank(qn_b, B, f, TOPK, None)
         rerank_s = time.perf_counter() - t0
-        funnel_bytes = sum(x.nbytes for x in pulled[0])
+        funnel_bytes = pulled[0].nbytes
         print(json.dumps({
             "breakdown_per_batch_ms": {
                 "dispatch": round(dispatch_s / len(batches) * 1e3, 1),
