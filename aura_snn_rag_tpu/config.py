@@ -121,6 +121,49 @@ class MemoryConfig:
     # per-grid-step overhead (DMA setup + semaphores) over more bank rows;
     # must be a multiple of 32 and of the 8-row funnel block.
     flat_tile_m: int = 1024
+    # Near-tie rescue pass (flat scan only): after the exact rerank, the
+    # `flat_rescue_queries` queries in the batch with the smallest margin
+    # between their k-th exact score and their coarse funnel cutoff get a
+    # second, `flat_rescue_width`-wide funnel drawn from the SAME [B, M]
+    # coarse scores (no second bank read), exact-reranked and union-merged
+    # (with dedup) into the narrow result. Default OFF: the clean chip A/B
+    # (runs/rescue_ab_1m.out) measured it recall-neutral at -47% QPS —
+    # the headline's ~0.35% misses are approx_max_k funnel slack (random
+    # drops, uncorrelated with the coarse margin), NOT quantized
+    # near-ties, so margin-ranked rescue targets the wrong queries and
+    # keeping the [B, M] coarse matrix alive for the second pass defeats
+    # XLA's fusion of it into the funnel. The slack itself is closed
+    # exactly by `flat_exact_funnel` below.
+    flat_rescue_queries: int = 0
+    flat_rescue_width: int = 1024
+    # Exact coarse funnel (flat scan): replace the approx_max_k funnel
+    # with the PROVABLE block-max hierarchy (select_block_candidates —
+    # the coarse top-j rows live in the top-j blocks by block max, so
+    # expanding the top `flat_block_funnel` blocks and exact-top-k-ing
+    # their coarse scores yields the EXACT coarse top-rerank_candidates;
+    # zero funnel slack). Residual recall loss is then only int8/bf16
+    # rank inflation beyond the funnel width. Measured on chip
+    # (runs/funnel_ab_1m.out): recall 0.99883/0.99961/1.000 at kk
+    # 128/192/256 — but 14.1k/10.0k/7.6k QPS (the hierarchy + structured
+    # gather cost ~4x the approx funnel), so it serves as the recall
+    # oracle, not the default.
+    flat_exact_funnel: bool = False
+    # Wide-then-exact funnel (flat scan): approx_max_k returns
+    # `flat_wide_funnel` candidates (per-element drop probability for a
+    # true top-10 item falls ~linearly in the width), and the exact
+    # top-`rerank_candidates` of the returned VALUES — one cheap [B, wide]
+    # sort, no extra gathers — feeds the f32 rerank. Closes approx slack
+    # almost to the exact funnel's recall at a few percent of the cost.
+    # 0 disables (plain kk-wide approx funnel).
+    flat_wide_funnel: int = 0
+    # Host-spilled bank second-stage funnel: the device re-scores the
+    # block funnel's flat_block_funnel*8 candidate rows (one [B, F, D]
+    # int8 gather at HBM speed) and returns only the top `spill_funnel_rows`
+    # slots per query. Cuts device->host transfer AND the host f32 rerank
+    # by F/spill_funnel_rows (~2.7x at the 512->192 defaults) — the two
+    # serial stages that bound the 10M tier. 0, or a value >= the block
+    # funnel width, disables the second stage (single-stage block funnel).
+    spill_funnel_rows: int = 192
 
     @property
     def bucket_capacity(self) -> int:
@@ -256,11 +299,42 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
+class ParallelConfig:
+    """Parallelism strategy selection (no reference equivalent; SURVEY §2.8).
+
+    DP/TP are implicit in the mesh shape ('data'/'model' axis sizes); the
+    two strategies that change the PROGRAM — sequence sharding (ring
+    attention) and pipeline stages (GPipe ring) — are selected here so the
+    flagship model can train sequence-sharded or staged straight from
+    `AuraConfig` instead of by hand-wiring the primitives.
+
+    - seq_shards > 1: `Trainer.shard_to_mesh` expects a mesh with a 'seq'
+      axis of that size, shards every [B, L] batch over (batch_axes, 'seq'),
+      and `ProsodyGatedAttention` routes its causal core through
+      `parallel.ring_attention` (exact blockwise softmax, K/V blocks
+      rotating one ICI hop per step). All other ops shard along L via
+      GSPMD. Requires max_seq_len % seq_shards == 0.
+    - pp_stages > 1: the layer stack runs as a GPipe microbatch ring over a
+      'stage' mesh axis via `models.pipelined.pipelined_lm_apply` /
+      `pipelined_rag_apply` (per-stage params sharded where their stage
+      lives). Requires num_layers % pp_stages == 0 and a uniform SNN-FFN
+      pattern across stages.
+    """
+
+    seq_shards: int = 1
+    seq_axis_name: str = "seq"
+    pp_stages: int = 1
+    pp_microbatches: int = 4
+    stage_axis_name: str = "stage"
+
+
+@dataclass(frozen=True)
 class AuraConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     memory: MemoryConfig = field(default_factory=MemoryConfig)
     training: TrainingConfig = field(default_factory=TrainingConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
 
     def replace(self, **kw) -> "AuraConfig":
         return dataclasses.replace(self, **kw)

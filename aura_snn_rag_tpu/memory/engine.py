@@ -564,13 +564,51 @@ def _retrieve_flat_scan(config: MemoryConfig, state: MemoryState,
                          jnp.asarray(NEG_INF, sdt))
 
     kk = min(max(config.rerank_candidates, 4 * k), M)
-    # TPU-native approximate top-k (hardware MIPS path): the exact f32
-    # rerank below absorbs the small recall slack. Exact sort-based top_k
-    # over a 1M-wide row costs ~20 ms; approx_max_k is ~an order cheaper.
-    _, pick = jax.lax.approx_max_k(
-        combined, kk, recall_target=config.flat_funnel_recall)
-    cand_valid = jnp.take_along_axis(
-        jnp.broadcast_to(active[None, :], combined.shape), pick, axis=1)
+    wide = min(config.flat_wide_funnel, M)
+    if wide > kk and not config.flat_exact_funnel:
+        # WIDE approx funnel -> exact narrow: approx_max_k's per-element
+        # drop probability for a true top-10 item scales ~(k-1)/2L with
+        # L ~ wide/(2(1-recall_target)) buckets, so widening the approx
+        # stage 8-16x cuts the slack ~8-16x for a few percent of cost
+        # (the values come back with the indices — the exact top-kk
+        # selection over [B, wide] is one cheap sort, no gathers).
+        vals_w, pick_w = jax.lax.approx_max_k(
+            combined, wide, recall_target=config.flat_funnel_recall)
+        cand_coarse, idx = jax.lax.top_k(vals_w, kk)
+        pick = jnp.take_along_axis(pick_w, idx, axis=1)
+        cand_valid = pick < state.active_count()
+    elif config.flat_exact_funnel:
+        # EXACT coarse funnel, zero slack: the coarse top-kk rows live in
+        # the top-kk blocks by block max (each top row makes its own
+        # block's max rank <= kk), so expanding those blocks and exact-
+        # top-k-ing their coarse scores returns the exact coarse top-kk.
+        # Costs one [B, M/8] reshape-max + hierarchical exact top-k +
+        # one [B, kk*8] structured gather — no approx_max_k recall
+        # lottery (the measured source of the headline's ~0.35% misses;
+        # runs/rescue_ab_1m.out post-mortem).
+        Rb = 8
+        pad = (-M) % Rb
+        bmsrc = (combined if pad == 0 else
+                 jnp.pad(combined, ((0, 0), (0, pad)),
+                         constant_values=jnp.asarray(NEG_INF, sdt)))
+        bm = bmsrc.reshape(combined.shape[0], -1, Rb).max(axis=-1)
+        cand_slots, slots_valid = select_block_candidates(
+            bm, kk, k, state.active_count(), M, Rb)      # [B, kk*8]
+        csc = jnp.take_along_axis(bmsrc, cand_slots, axis=1)
+        csc = jnp.where(slots_valid, csc, jnp.asarray(NEG_INF, sdt))
+        cand_coarse, idx = jax.lax.top_k(csc, kk)        # exact
+        pick = jnp.take_along_axis(cand_slots, idx, axis=1)
+        cand_valid = jnp.take_along_axis(slots_valid, idx, axis=1)
+    else:
+        # TPU-native approximate top-k (hardware MIPS path): the exact
+        # f32 rerank below absorbs the small recall slack. Exact
+        # sort-based top_k over a 1M-wide row costs ~20 ms; approx_max_k
+        # is ~an order cheaper.
+        cand_coarse, pick = jax.lax.approx_max_k(
+            combined, kk, recall_target=config.flat_funnel_recall)
+        cand_valid = jnp.take_along_axis(
+            jnp.broadcast_to(active[None, :], combined.shape), pick,
+            axis=1)
 
     cand_feats = state.features[pick]                            # [B, kk, D]
     exact_cos = jnp.einsum(
@@ -582,11 +620,71 @@ def _retrieve_flat_scan(config: MemoryConfig, state: MemoryState,
 
     scores, pick2 = jax.lax.top_k(exact, k)
     out_slots = jnp.take_along_axis(pick, pick2, axis=1).astype(jnp.int32)
+    feats = jnp.take_along_axis(cand_feats, pick2[..., None], axis=1)
+
+    B = queries.shape[0]
+    R = min(config.flat_rescue_queries, B)
+    kk2 = min(config.flat_rescue_width, M)
+    if R > 0 and kk2 > kk:
+        scores, out_slots, feats = _flat_rescue(
+            config, state, qn, combined, pick, cand_coarse,
+            scores, out_slots, feats, query_locations, k, R, kk2)
+
     hit = scores > NEG_INF / 2
     out_slots = jnp.where(hit, out_slots, -1)
-    feats = jnp.take_along_axis(cand_feats, pick2[..., None], axis=1)
     feats = jnp.where(hit[..., None], feats, 0.0)
     return RetrievalResult(out_slots, jnp.where(hit, scores, 0.0), feats)
+
+
+def _flat_rescue(config: MemoryConfig, state: MemoryState, qn: jax.Array,
+                 combined: jax.Array, pick: jax.Array,
+                 cand_coarse: jax.Array, scores: jax.Array,
+                 out_slots: jax.Array, feats: jax.Array,
+                 query_locations: Optional[jax.Array], k: int, R: int,
+                 kk2: int):
+    """Near-tie rescue: re-funnel the R riskiest queries kk2-wide.
+
+    A true top-k row can only be absent from the narrow funnel when its
+    quantized coarse score fell below the funnel cutoff — i.e. when the
+    margin between the query's k-th EXACT score and its coarse cutoff is
+    within quantization distance. Rescue = pick the R smallest-margin
+    queries, draw kk2 candidates from their (already materialized) coarse
+    rows, exact-rerank the UNION of narrow+wide candidates (dedup by slot,
+    so the result strictly dominates the narrow pass), and scatter the
+    rows back. Costs one [R, M] gather + one [R, kk+kk2, D] rerank — no
+    second bank scan.
+    """
+    M = state.max_memories
+    kk = pick.shape[1]
+    # funnel cutoff from the approx_max_k VALUES (already materialized —
+    # a take_along_axis over the [B, M] coarse matrix costs a large
+    # random gather on TPU)
+    coarse_cut = cand_coarse.min(axis=1).astype(jnp.float32)     # [B]
+    margin = scores[:, k - 1] - coarse_cut
+    _, risky = jax.lax.top_k(-margin, R)                         # [R]
+    sub = combined[risky]                                        # [R, M]
+    _, pick_w = jax.lax.approx_max_k(sub, kk2, recall_target=0.99)
+    slots_all = jnp.concatenate([pick[risky], pick_w], axis=1)   # [R, C]
+    C = kk + kk2
+    valid_all = slots_all < state.active_count()    # == active[slots_all]
+    # union semantics need dedup: a slot in both funnels gets identical
+    # exact scores and would occupy two of the k output lanes
+    pos = jnp.arange(C)
+    is_dup = ((slots_all[:, :, None] == slots_all[:, None, :])
+              & (pos[None, :, None] < pos[None, None, :])).any(axis=1)
+    feats_all = state.features[slots_all]                        # [R, C, D]
+    qn_r = qn[risky]
+    cos_all = jnp.einsum(
+        "bkd,bd->bk", _l2norm(feats_all.astype(jnp.float32)), qn_r,
+        precision=jax.lax.Precision.HIGHEST)
+    loc_r = None if query_locations is None else query_locations[risky]
+    exact_all = _combined_score(config, state, cos_all, slots_all, loc_r)
+    exact_all = jnp.where(valid_all & ~is_dup, exact_all, NEG_INF)
+    s_w, p_w = jax.lax.top_k(exact_all, k)
+    slots_w = jnp.take_along_axis(slots_all, p_w, axis=1).astype(jnp.int32)
+    f_w = jnp.take_along_axis(feats_all, p_w[..., None], axis=1)
+    return (scores.at[risky].set(s_w), out_slots.at[risky].set(slots_w),
+            feats.at[risky].set(f_w))
 
 
 def _flat_kernel_ok(config: MemoryConfig, state: MemoryState,

@@ -21,6 +21,21 @@ import os
 import sys
 import time
 
+# --sharded=N: multi-chip scaling evidence on an N-device VIRTUAL CPU mesh
+# (correctness of the per-shard-top-k + all_gather merge, plus measured
+# collective bytes from the compiled HLO — see docs/SCALING.md). Delegates
+# before any backend touch so the CPU device-count flag can take effect.
+_SHARDED = next((a.split("=", 1)[1] for a in sys.argv
+                 if a.startswith("--sharded=")), None)
+if _SHARDED is not None:
+    import subprocess
+    raise SystemExit(subprocess.call(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "benchmarks", "bench_sharded_scaling.py"),
+         f"--n={int(_SHARDED)}"],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}))
+
 import numpy as np
 
 # knobs (overridable for smoke runs: python bench.py --small)
@@ -61,6 +76,12 @@ RERANK = next((int(a.split("=", 1)[1]) for a in sys.argv
 # flat coarse-funnel approx_max_k recall target: --flat-recall=0.99
 FLAT_RECALL = next((float(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--flat-recall=")), None)
+# near-tie rescue A/B knobs (default = config defaults: 64 queries, 1024
+# wide). --rescue=0 disables; --rescue-width=2048 widens the second funnel.
+RESCUE = next((int(a.split("=", 1)[1]) for a in sys.argv
+               if a.startswith("--rescue=")), None)
+RESCUE_WIDTH = next((int(a.split("=", 1)[1]) for a in sys.argv
+                     if a.startswith("--rescue-width=")), None)
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -137,6 +158,10 @@ def tpu_bench(feats, queries):
         kernel_kw["rerank_candidates"] = RERANK
     if FLAT_RECALL:
         kernel_kw["flat_funnel_recall"] = FLAT_RECALL
+    if RESCUE is not None:
+        kernel_kw["flat_rescue_queries"] = RESCUE
+    if RESCUE_WIDTH is not None:
+        kernel_kw["flat_rescue_width"] = RESCUE_WIDTH
     cfg = MemoryConfig(max_memories=N, feature_dim=D, k_centroids=K,
                        probe_centroids=PROBE, retrieve_k=TOPK,
                        bucket_overprovision=2.0,
@@ -271,8 +296,10 @@ def main():
     qps, ivf_qps, build_s, build_cold_s, approx_idx, _ = \
         tpu_bench(feats, queries)
 
-    # exact ground truth on a subsample of queries (numpy, f64-safe)
-    n_eval = min(64, len(queries))
+    # exact ground truth on a subsample of queries (numpy, f64-safe).
+    # 128 queries = 1280 scored items: enough resolution to distinguish
+    # recall 0.999 from 0.997 (the near-tie rescue's claim).
+    n_eval = min(128, len(queries))
     exact = exact_topk_numpy(feats, queries[:n_eval], TOPK)
     recall = recall_at_k(approx_idx[:n_eval], exact)
 
