@@ -103,6 +103,14 @@ class ProsodyGatedAttention(nn.Module):
 
     config: ModelConfig
     deterministic: bool = True
+    # sequence-parallel routing: when `mesh` has a 'seq' axis of size > 1
+    # the causal core runs as ring attention over it (exact blockwise
+    # softmax, K/V rotating one ICI hop per step — parallel.ring_attention)
+    # instead of a local dot_product_attention. Set by Trainer.shard_to_mesh
+    # from AuraConfig.parallel.seq_shards; composes with TP (heads stay
+    # sharded over 'model' inside the ring).
+    mesh: Optional[Any] = None
+    seq_axis_name: str = "seq"
 
     @nn.compact
     def __call__(self, hidden: jax.Array,
@@ -152,7 +160,20 @@ class ProsodyGatedAttention(nn.Module):
             ctx = jax.nn.dot_product_attention(
                 q, ck, cv, mask=mask[None, None, :, :])
         else:
-            ctx = jax.nn.dot_product_attention(q, k, v, is_causal=True)
+            from aura_snn_rag_tpu.parallel.ring_attention import (
+                mesh_seq_axis, sequence_sharded_attention)
+            if mesh_seq_axis(self.mesh, self.seq_axis_name) > 1:
+                mesh = self.mesh
+                batch_axes = tuple(
+                    a for a in mesh.axis_names
+                    if a not in (self.seq_axis_name, "model", "stage"))
+                head_axis = "model" if "model" in mesh.axis_names else None
+                ctx = sequence_sharded_attention(
+                    q, k, v, mesh, seq_axis=self.seq_axis_name,
+                    batch_axes=batch_axes, head_axis=head_axis,
+                    causal=True)
+            else:
+                ctx = jax.nn.dot_product_attention(q, k, v, is_causal=True)
 
         ctx = ctx.reshape(B, L, D)
         out = nn.Dense(D, dtype=dt, name="o_proj")(ctx)
@@ -296,6 +317,7 @@ class TransformerLayer(nn.Module):
     config: ModelConfig
     use_snn_ffn: bool = False
     deterministic: bool = True
+    mesh: Optional[Any] = None           # seq-parallel routing (see attention)
 
     @nn.compact
     def __call__(self, hidden: jax.Array,
@@ -305,7 +327,7 @@ class TransformerLayer(nn.Module):
         cfg = self.config
         normed = nn.LayerNorm(dtype=_dtype(cfg), name="attention_norm")(hidden)
         attn_out, new_cache = ProsodyGatedAttention(
-            cfg, self.deterministic, name="attention")(
+            cfg, self.deterministic, mesh=self.mesh, name="attention")(
             normed, prosody, use_memory, kv_cache, cache_index)
         hidden = hidden + attn_out
 
@@ -334,6 +356,7 @@ class MemoryAugmentedLayer(nn.Module):
     # injectable retrieval (e.g. the shard_map sharded-bank path);
     # signature: (memory_config, memory_state, queries, k) -> RetrievalResult
     retrieve_fn: Optional[Any] = None
+    mesh: Optional[Any] = None           # seq-parallel routing (see attention)
 
     @nn.compact
     def __call__(self, hidden: jax.Array,
@@ -345,7 +368,7 @@ class MemoryAugmentedLayer(nn.Module):
         dt = _dtype(cfg)
         normed = nn.LayerNorm(dtype=dt, name="attention_norm")(hidden)
         attn_out, new_cache = ProsodyGatedAttention(
-            cfg, self.deterministic, name="attention")(
+            cfg, self.deterministic, mesh=self.mesh, name="attention")(
             normed, prosody, use_memory, kv_cache, cache_index)
         hidden = hidden + attn_out
 

@@ -49,6 +49,10 @@ class HippocampalTransformer(nn.Module):
     deterministic: bool = True
     # injectable retrieval for RAG layers (e.g. memory.sharded path)
     retrieve_fn: Optional[Any] = None
+    # sequence-parallel routing: a mesh with a 'seq' axis > 1 makes every
+    # attention core run as ring attention over it (set by
+    # Trainer.shard_to_mesh from AuraConfig.parallel.seq_shards)
+    mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, input_ids: jax.Array,
@@ -98,13 +102,15 @@ class HippocampalTransformer(nn.Module):
                 layer = rag_cls(
                     cfg, self.memory_config, use_snn_ffn=use_snn,
                     deterministic=self.deterministic,
-                    retrieve_fn=self.retrieve_fn, name=f"layer_{i}")
+                    retrieve_fn=self.retrieve_fn, mesh=self.mesh,
+                    name=f"layer_{i}")
                 hidden, cache_out = layer(hidden, memory_state, prosody,
                                           use_memory, cache_i, cache_index)
             else:
                 layer = plain_cls(
                     cfg, use_snn_ffn=use_snn,
-                    deterministic=self.deterministic, name=f"layer_{i}")
+                    deterministic=self.deterministic, mesh=self.mesh,
+                    name=f"layer_{i}")
                 hidden, cache_out = layer(hidden, prosody, use_memory,
                                           cache_i, cache_index)
             if new_caches is not None:

@@ -68,16 +68,33 @@ def _path_str(key_path) -> str:
     return "/".join(parts)
 
 
-def param_specs(params):
-    """PartitionSpec pytree matching `params`."""
-    return jax.tree_util.tree_map_with_path(
+def param_specs(params, mesh: Optional[Mesh] = None):
+    """PartitionSpec pytree matching `params`.
+
+    With `mesh` given, axes the mesh doesn't have are dropped (replicated) —
+    e.g. the TP 'model' rules on a pure DP/SP ('data','seq') mesh."""
+    specs = jax.tree_util.tree_map_with_path(
         lambda kp, x: param_sharding_rules(_path_str(kp), jnp.ndim(x)),
         params)
+    if mesh is None:
+        return specs
+
+    def prune(spec):
+        def keep(e):
+            if e is None:
+                return None
+            if isinstance(e, tuple):
+                kept = tuple(a for a in e if a in mesh.axis_names)
+                return kept if kept else None
+            return e if e in mesh.axis_names else None
+        return P(*(keep(e) for e in spec))
+    return jax.tree.map(prune, specs,
+                        is_leaf=lambda x: isinstance(x, P))
 
 
 def shard_params(params, mesh: Mesh):
     """Place a parameter pytree onto the mesh per the TP rules."""
-    specs = param_specs(params)
+    specs = param_specs(params, mesh)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs)

@@ -38,15 +38,22 @@ def stack_stage_params(per_stage_params, mesh: Mesh, axis: str = "stage"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
 
 
-def pipeline_apply(block_fn: Callable[[Any, Any], Any],
+def pipeline_apply(block_fn: Callable[..., Any],
                    stage_params, microbatches, mesh: Mesh,
-                   axis: str = "stage"):
+                   axis: str = "stage", consts: Any = None):
     """Run `microbatches` (array or pytree, leaves [M, mb, ...]) through S
     pipelined stages.
 
-    block_fn(params_for_one_stage, x) -> y must be shape-preserving between
-    stages (the usual transformer-layer contract); x/y may be pytrees (e.g.
-    (hidden, prosody) with prosody passed through unchanged).
+    block_fn(params_for_one_stage, x[, consts]) -> y must be
+    shape-preserving between stages (the usual transformer-layer contract);
+    x/y may be pytrees (e.g. (hidden, prosody) with prosody passed through
+    unchanged).
+
+    consts: optional pytree of NON-microbatched operands replicated to
+    every stage (e.g. the episodic `MemoryState` for RAG stages — each
+    stage's per-layer retrieval reads the same replicated bank locally,
+    no cross-stage collectives). Passed as block_fn's third argument.
+
     Returns the last stage's outputs (leaves [M, mb, ...]), replicated over
     `axis`. Differentiable: take `jax.grad` through this of a loss on the
     output; grads of `stage_params` come back sharded over `axis`.
@@ -56,7 +63,7 @@ def pipeline_apply(block_fn: Callable[[Any, Any], Any],
     T = M + S - 1
     perm = [(i, (i + 1) % S) for i in range(S)]
 
-    def local(params, xs):
+    def local(params, xs, cs):
         params = jax.tree.map(lambda p: p[0], params)    # [1,...] -> [...]
         sid = jax.lax.axis_index(axis)
         zero = jax.tree.map(
@@ -67,7 +74,7 @@ def pipeline_apply(block_fn: Callable[[Any, Any], Any],
             x_first = jax.tree.map(lambda x: x[idx], xs)
             x = jax.tree.map(
                 lambda a, b: jnp.where(sid == 0, a, b), x_first, inflow)
-            y = block_fn(params, x)
+            y = block_fn(params, x) if cs is None else block_fn(params, x, cs)
             # ring hop to the next stage; during fill/drain the payload is
             # a don't-care (never read by the output collection below)
             hop = jax.tree.map(
@@ -82,9 +89,9 @@ def pipeline_apply(block_fn: Callable[[Any, Any], Any],
         return jax.tree.map(lambda v: v[S - 1], gathered)
 
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(axis), P()), out_specs=P(),
+                       in_specs=(P(axis), P(), P()), out_specs=P(),
                        check_vma=False)
-    return fn(stage_params, microbatches)
+    return fn(stage_params, microbatches, consts)
 
 
 def split_microbatches(batch: jax.Array, num_microbatches: int) -> jax.Array:

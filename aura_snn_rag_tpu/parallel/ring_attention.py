@@ -121,13 +121,25 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def sequence_sharded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                mesh: Mesh, seq_axis: str = "seq",
                                batch_axes=("data",),
+                               head_axis: Optional[str] = None,
                                causal: bool = True) -> jax.Array:
     """shard_map wrapper: q/k/v [B, L, H, Dh] globally, L sharded over
     `seq_axis` (and B over `batch_axes`); returns attention output with the
-    same sharding. The convenience entry for tests and model wiring."""
-    spec = P(batch_axes, seq_axis)
+    same sharding. The convenience entry for tests and model wiring.
+
+    head_axis: optional mesh axis sharding H (tensor parallelism) — the
+    ring is per-head math, so SP x TP composes with no extra collectives.
+    """
+    spec = P(batch_axes, seq_axis, head_axis)
     fn = jax.shard_map(
         functools.partial(ring_attention, axis_name=seq_axis,
                           causal=causal),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
     return fn(q, k, v)
+
+
+def mesh_seq_axis(mesh, seq_axis: str = "seq") -> int:
+    """Size of the mesh's sequence axis (1 = no sequence sharding)."""
+    if mesh is None or seq_axis not in mesh.axis_names:
+        return 1
+    return mesh.shape[seq_axis]

@@ -172,6 +172,7 @@ class Trainer:
         self.mesh = None
         self._memory_mesh = None
         self._batch_axes = ("data",)
+        self._seq_axis = None
         self.replay = ReplayBuffer(tcfg.replay_buffer_size)
         self.ewc = EWCConsolidator(tcfg.ewc_lambda)
         # observability spine (SURVEY §5.1): stats + event hooks
@@ -211,7 +212,22 @@ class Trainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from aura_snn_rag_tpu.parallel.mesh import shard_params
 
-        self._batch_axes = tuple(a for a in mesh.axis_names if a != "model")
+        pcfg = self.config.parallel
+        seq_ax = pcfg.seq_axis_name
+        self._seq_axis = None
+        if seq_ax in mesh.axis_names and mesh.shape[seq_ax] > 1:
+            # sequence parallelism (AuraConfig.parallel.seq_shards): batches
+            # shard [B, L] over (batch_axes, seq); attention cores run the
+            # ring over the 'seq' axis (models get the mesh below)
+            assert self.config.model.max_seq_len % mesh.shape[seq_ax] == 0, (
+                self.config.model.max_seq_len, mesh.shape[seq_ax])
+            self._seq_axis = seq_ax
+        self._batch_axes = tuple(
+            a for a in mesh.axis_names
+            if a not in ("model", seq_ax, pcfg.stage_axis_name))
+        if self._seq_axis is not None:
+            self.model = self.model.clone(mesh=mesh)
+            self.eval_model = self.eval_model.clone(mesh=mesh)
 
         params = shard_params(self.state.params, mesh)
         opt_state = self.tx.init(params)  # zeros_like inherits shardings
@@ -248,10 +264,12 @@ class Trainer:
         if self.mesh is None:
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return jax.device_put(
-            jnp.asarray(x),
-            NamedSharding(self.mesh, P(getattr(self, "_batch_axes",
-                                               ("data",)))))
+        x = jnp.asarray(x)
+        axes = getattr(self, "_batch_axes", ("data",))
+        seq_ax = getattr(self, "_seq_axis", None)
+        spec = (P(axes, seq_ax) if seq_ax is not None and x.ndim >= 2
+                else P(axes))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     # ------------------------------------------------------------------
     # jitted step builders
