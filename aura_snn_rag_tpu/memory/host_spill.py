@@ -108,12 +108,14 @@ def _device_decay(dev: SpillDeviceState, rate: jax.Array) -> SpillDeviceState:
 @functools.partial(jax.jit,
                    static_argnames=("funnel_blocks", "k", "w_cosine",
                                     "w_temporal", "temporal_tau",
-                                    "seconds_per_step", "use_kernel"))
+                                    "seconds_per_step", "use_kernel",
+                                    "row_funnel"))
 def _device_funnel(dev: SpillDeviceState, q: jax.Array,
                    active_count: jax.Array, step: jax.Array, *,
                    funnel_blocks: int, k: int, w_cosine: float,
                    w_temporal: float, temporal_tau: float,
-                   seconds_per_step: float, use_kernel: bool):
+                   seconds_per_step: float, use_kernel: bool,
+                   row_funnel: int = 0):
     """Phase 1 on device: coarse scan -> funnel candidate slots + metadata.
 
     q: [Bp, D] coarse-dtype queries, Bp a multiple of 128 (kernel path) —
@@ -124,6 +126,12 @@ def _device_funnel(dev: SpillDeviceState, q: jax.Array,
     host RAM instead of two extra device gathers + 2/3 more
     device->host bytes; at 10M the 786 KB 3-array funnel cost ~103 ms
     of the measured ~7.6 MB/s tunnel downlink per 128-query batch).
+
+    row_funnel (config.spill_funnel_rows): when 0 < row_funnel < F, a
+    second device stage gathers the F block-funnel candidates' coarse rows
+    ([Bp, F, D] int8, HBM-speed) and keeps only the top-row_funnel by
+    exact-coarse combined score — shrinking BOTH the transfer and the host
+    f32 rerank by F/row_funnel at the cost of one cheap device gather.
     """
     from aura_snn_rag_tpu.ops.pallas.flat_scan import (
         BLOCK_R, TILE_M, default_interpret, flat_blockmax, pack_row_terms)
@@ -159,7 +167,24 @@ def _device_funnel(dev: SpillDeviceState, q: jax.Array,
 
     cand_slots, cand_valid = select_block_candidates(
         bm, funnel_blocks, k, active_count, M, R, tile_m=kernel_tile_m)
-    return jnp.where(cand_valid, cand_slots, -1).astype(jnp.int32)
+    F = cand_slots.shape[1]
+    if not (0 < row_funnel < F):
+        return jnp.where(cand_valid, cand_slots, -1).astype(jnp.int32)
+
+    # second stage: exact-coarse rescore of the F candidates, keep top rows
+    safe = jnp.where(cand_valid, cand_slots, 0)
+    rows = dev.coarse[safe]                                  # [Bp, F, D]
+    if dev.coarse.dtype == jnp.int8:
+        acc = jnp.einsum("bfd,bd->bf", rows, q,
+                         preferred_element_type=jnp.int32)
+        cos = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+    else:
+        cos = jnp.einsum("bfd,bd->bf", rows, q).astype(jnp.float32)
+    score = cos * mul[safe] + add[safe]
+    score = jnp.where(cand_valid, score, NEG_INF)
+    top_s, top_i = jax.lax.top_k(score, row_funnel)
+    out = jnp.take_along_axis(safe, top_i, axis=1)
+    return jnp.where(top_s > NEG_INF / 2, out, -1).astype(jnp.int32)
 
 
 class SpilledBank:
@@ -194,10 +219,10 @@ class SpilledBank:
 
     # -- writes ------------------------------------------------------------
 
-    def write(self, features: np.ndarray,
-              locations: Optional[np.ndarray] = None) -> np.ndarray:
-        """FIFO batch write (reference one-shot semantics,
-        hippocampal.py:195-243). Returns the bank slots written."""
+    def _host_write(self, features: np.ndarray,
+                    locations: Optional[np.ndarray]):
+        """Host half of a write: mirrors + quantization. Returns
+        (int8/bf16 rows, slots, ring start) for `_device_write`."""
         feats = np.ascontiguousarray(features, np.float32)
         B = feats.shape[0]
         M = self.config.max_memories
@@ -218,9 +243,17 @@ class SpilledBank:
         self.host_strength[slots] = 1.0
         self.host_timestamp[slots] = self.step
         rows = _host_coarse(feats, self.dev.coarse.dtype)
-        # The ring write is at most two contiguous segments — use the
-        # dynamic_update_slice path (block copy) instead of a row scatter.
-        start = self.count % M
+        start = int(self.count % M)
+        self.count += B
+        return rows, slots, start
+
+    def _device_write(self, rows, start: int) -> None:
+        """Device half: upload + ring write (at most two contiguous
+        segments via dynamic_update_slice — block copies, not row
+        scatters). Safe to run on a worker thread: it only touches
+        `self.dev` and JAX dispatch releases the GIL during transfers."""
+        B = rows.shape[0]
+        M = self.config.max_memories
         first = min(B, M - start)
         step = jnp.float32(self.step)
         self.dev = _device_write_slice(
@@ -228,18 +261,40 @@ class SpilledBank:
         if first < B:
             self.dev = _device_write_slice(
                 self.dev, jnp.int32(0), jnp.asarray(rows[first:]), step)
-        self.count += B
+
+    def write(self, features: np.ndarray,
+              locations: Optional[np.ndarray] = None) -> np.ndarray:
+        """FIFO batch write (reference one-shot semantics,
+        hippocampal.py:195-243). Returns the bank slots written."""
+        rows, slots, start = self._host_write(features, locations)
+        self._device_write(rows, start)
         return slots
 
     def bulk_load_chunked(self, make_chunk, n_rows: int,
                           chunk: int = 262_144) -> None:
         """Ingest n_rows via a callable chunk factory (avoids ever holding
-        the full f32 bank twice on host)."""
+        the full f32 bank twice on host).
+
+        Double-buffered: chunk i's device upload runs on a worker thread
+        (the host->device copy is tunnel-I/O-bound and GIL-free) while the
+        main thread generates + quantizes + host-mirrors chunk i+1 — the
+        two halves of the 10M ingest that used to serialize (VERDICT r3
+        #5). Ordering is preserved by the single worker."""
+        from concurrent.futures import ThreadPoolExecutor
+
         done = 0
-        while done < n_rows:
-            b = min(chunk, n_rows - done)
-            self.write(make_chunk(done, b))
-            done += b
+        pending = None
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            while done < n_rows:
+                b = min(chunk, n_rows - done)
+                feats = make_chunk(done, b)
+                rows, _, start = self._host_write(feats, None)
+                if pending is not None:
+                    pending.result()     # double-buffer: at most 1 in flight
+                pending = ex.submit(self._device_write, rows, start)
+                done += b
+            if pending is not None:
+                pending.result()
 
     # -- maintenance --------------------------------------------------------
 
@@ -283,7 +338,8 @@ class SpilledBank:
             funnel_blocks=cfg.flat_block_funnel, k=cfg.retrieve_k,
             w_cosine=cfg.w_cosine, w_temporal=cfg.w_temporal,
             temporal_tau=cfg.temporal_tau,
-            seconds_per_step=cfg.seconds_per_step, use_kernel=use_kernel)
+            seconds_per_step=cfg.seconds_per_step, use_kernel=use_kernel,
+            row_funnel=cfg.spill_funnel_rows)
         return qn, B, out
 
     def _host_rerank(self, qn: np.ndarray, B: int, funnel, k: int,
@@ -302,8 +358,10 @@ class SpilledBank:
                          np.float32(cfg.w_temporal) * temporal * strength_c,
                          np.float32(NEG_INF)).astype(np.float32)
         rows = self.host_features[cand_slots]            # [B, F, D] gather
-        cos = np.einsum("bfd,bd->bf", rows, qn, dtype=np.float32) \
-            * self.host_inv_norm[cand_slots]
+        # batched matvec via BLAS (np.matmul dispatches to gemm; einsum
+        # would run C loops — 3-4x slower on the 1-core host)
+        cos = np.matmul(rows, qn.astype(np.float32)[:, :, None]) \
+            .squeeze(-1) * self.host_inv_norm[cand_slots]
         score = cfg.w_cosine * strength_c * cos + add_c
         if query_locations is not None:
             d = np.sqrt(np.sum(
@@ -346,7 +404,16 @@ class SpilledBank:
         the same serving-batch lever that took the device-resident flat
         scan 26k -> 56k QPS (B=128 -> 1024). Per-query funnels are
         independent, so packing/splitting is exact. Results come back in
-        the caller's batch structure."""
+        the caller's batch structure.
+
+        Three-deep overlap: (1) all device funnels are dispatched up front
+        (async JAX dispatch), (2) a prefetch thread pulls pack i+1's slot
+        ids over the tunnel (np.asarray releases the GIL during the PJRT
+        copy) while (3) the main thread runs pack i's host rerank (BLAS,
+        also GIL-free) — so device scan, device->host transfer and host
+        rerank all run concurrently even on a 1-core host."""
+        from concurrent.futures import ThreadPoolExecutor
+
         k = k or self.config.retrieve_k
         sizes = [np.asarray(q).shape[0] for q in query_batches]
         packs: List[List[int]] = [[]]          # indices into query_batches
@@ -361,13 +428,15 @@ class SpilledBank:
             np.concatenate([np.asarray(query_batches[i], np.float32)
                             for i in pack], axis=0)) for pack in packs]
         out: List[RetrievalResult] = [None] * len(query_batches)  # type: ignore
-        for pack, (qn, B, f) in zip(packs, inflight):
-            res = self._host_rerank(qn, B, f, k, None)
-            off = 0
-            for i in pack:
-                s = sizes[i]
-                out[i] = RetrievalResult(res.indices[off:off + s],
-                                         res.scores[off:off + s],
-                                         res.features[off:off + s])
-                off += s
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pulls = [ex.submit(np.asarray, f) for (_, _, f) in inflight]
+            for pack, (qn, B, _), pull in zip(packs, inflight, pulls):
+                res = self._host_rerank(qn, B, pull.result(), k, None)
+                off = 0
+                for i in pack:
+                    s = sizes[i]
+                    out[i] = RetrievalResult(res.indices[off:off + s],
+                                             res.scores[off:off + s],
+                                             res.features[off:off + s])
+                    off += s
         return out

@@ -195,3 +195,34 @@ def test_oversized_write_keeps_last_m():
     assert bank.active_count == 32
     r = bank.retrieve(feats[-4:], k=1)
     np.testing.assert_allclose(r.features[:, 0], feats[-4:], rtol=1e-6)
+
+
+def test_two_stage_row_funnel_matches_single_stage():
+    """spill_funnel_rows rescoring must keep the exact top-k: the second
+    stage ranks by the same coarse score the block funnel maximized, so a
+    row funnel >= k*4 retains everything the host rerank would pick at
+    test scale (dense funnel vs tiny bank)."""
+    feats = _data(400, 128, seed=11)
+    q = _data(24, 128, seed=12)
+    res = {}
+    for rows in (0, 64):      # 0 = single-stage (F=128 passthrough)
+        cfg = _cfg(spill_funnel_rows=rows)
+        bank = SpilledBank(cfg)
+        bank.write(feats)
+        res[rows] = bank.retrieve(q, k=10)
+    agree = np.mean([
+        len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist())) / 10
+        for a, b in zip(res[0].indices, res[64].indices)])
+    assert agree >= 0.99
+    np.testing.assert_allclose(
+        np.sort(res[0].scores, axis=1), np.sort(res[64].scores, axis=1),
+        rtol=1e-4)
+
+
+def test_two_stage_funnel_shape_is_row_funnel():
+    """The transfer payload shrinks to [Bp, spill_funnel_rows]."""
+    cfg = _cfg(spill_funnel_rows=32)
+    bank = SpilledBank(cfg)
+    bank.write(_data(300, 128, seed=13))
+    _, _, funnel = bank._dispatch_funnel(_data(8, 128, seed=14))
+    assert funnel.shape[1] == 32
