@@ -71,5 +71,7 @@ def pytest_collection_modifyitems(config, items):
         nodeid = item.nodeid.replace("\\", "/")
         if nodeid in _SLOW_IDS:
             item.add_marker(pytest.mark.slow)
-        else:
+        elif item.get_closest_marker("slow") is None:
+            # an explicit @pytest.mark.slow opts out of the fast tier
+            # without needing a durations run to list it
             item.add_marker(pytest.mark.fast)
