@@ -57,7 +57,8 @@ def _l2norm(x, axis=-1, eps=1e-12):
 
 
 def _to_coarse(x_norm, dtype):
-    """Cast an L2-normalized row block to the coarse-scan storage dtype.
+    """Cast an L2-normalized row block to the coarse-scan storage dtype
+    at GLOBAL scale (dequant = q/127; per-row variant below).
 
     int8 uses symmetric 127-scale quantization (values in [-1, 1] by
     construction); anything else is a plain cast (bf16 path)."""
@@ -66,16 +67,43 @@ def _to_coarse(x_norm, dtype):
     return x_norm.astype(dtype)
 
 
-def _coarse_cos(bank_coarse, qn):
+def _to_coarse_rows(x_norm, dtype):
+    """Per-row max-abs quantization -> (rows, scale [rows'] f32).
+
+    Components of an L2-normalized D=768 row are ~1/sqrt(D) ~ 0.036, so
+    the global 127 scale uses only ~±5 int8 levels; scaling each row by
+    its own max-abs uses the full ±127 range (~7× less quantization
+    noise). Dequant: x ≈ q * scale / 127 (scale == 1.0 reproduces the
+    global convention, so zero-initialized banks stay compatible)."""
+    if dtype == jnp.int8:
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(x_norm), axis=-1, keepdims=True), 1e-12)
+        q = jnp.clip(jnp.round(x_norm * (127.0 / scale)),
+                     -127, 127).astype(dtype)
+        return q, jnp.squeeze(scale, -1).astype(jnp.float32)
+    ones = jnp.ones(x_norm.shape[:-1], jnp.float32)
+    return x_norm.astype(dtype), ones
+
+
+def _coarse_cos(bank_coarse, qn, row_scale=None):
     """[M, D?] coarse bank × [B, D] f32 normalized queries → cosine [B, M].
 
     int8 banks run the int8×int8 MXU path (2× rate, half the HBM read of
-    bf16) and rescale by 1/127² afterwards."""
+    bf16). row_scale [M] is the bank's per-row dequant scale
+    (state.coarse_scale); queries quantize per-query max-abs, and the two
+    rank-1 scale factors ride outside the matmul — exact dequantization
+    at O(B·M) multiplies the fused epilogue absorbs."""
     if bank_coarse.dtype == jnp.int8:
-        q8 = _to_coarse(qn, jnp.int8)
+        qmax = jnp.maximum(jnp.max(jnp.abs(qn), axis=-1, keepdims=True),
+                           1e-12)                                # [B, 1]
+        q8 = jnp.clip(jnp.round(qn * (127.0 / qmax)),
+                      -127, 127).astype(jnp.int8)
         acc = jnp.einsum("md,bd->bm", bank_coarse, q8,
                          preferred_element_type=jnp.int32)
-        return acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+        cos = acc.astype(jnp.float32) * (qmax * (1.0 / (127.0 * 127.0)))
+        if row_scale is not None:
+            cos = cos * row_scale[None, :]
+        return cos
     return jnp.einsum("md,bd->bm", bank_coarse,
                       qn.astype(bank_coarse.dtype)).astype(jnp.float32)
 
@@ -142,10 +170,11 @@ def write_memories(config: MemoryConfig, state: MemoryState,
         bucket_fill = st.bucket_fill.at[cid].add(
             jnp.where(assign, 1, 0).astype(jnp.int32))
 
+        qrow, qscale = _to_coarse_rows(_l2norm(f), st.features_nb16.dtype)
         return st._replace(
             features=st.features.at[idx].set(f),
-            features_nb16=st.features_nb16.at[idx].set(
-                _to_coarse(_l2norm(f), st.features_nb16.dtype)),
+            features_nb16=st.features_nb16.at[idx].set(qrow),
+            coarse_scale=st.coarse_scale.at[idx].set(qscale),
             locations=st.locations.at[idx].set(loc),
             strength=st.strength.at[idx].set(1.0),
             timestamp=st.timestamp.at[idx].set(st.step),
@@ -178,11 +207,12 @@ def bulk_load(config: MemoryConfig, state: MemoryState,
     """
     N = features.shape[0]
     f32 = state.features.dtype
+    qrows, qscales = _to_coarse_rows(_l2norm(features.astype(f32)),
+                                     state.features_nb16.dtype)
     return state._replace(
         features=state.features.at[:N].set(features.astype(f32)),
-        features_nb16=state.features_nb16.at[:N].set(
-            _to_coarse(_l2norm(features.astype(f32)),
-                       state.features_nb16.dtype)),
+        features_nb16=state.features_nb16.at[:N].set(qrows),
+        coarse_scale=state.coarse_scale.at[:N].set(qscales),
         locations=state.locations.at[:N].set(locations.astype(f32)),
         strength=state.strength.at[:N].set(1.0),
         timestamp=state.timestamp.at[:N].set(state.step),
@@ -540,7 +570,7 @@ def _retrieve_flat_scan(config: MemoryConfig, state: MemoryState,
     """
     M = state.max_memories
     qn = _l2norm(queries)                                        # [B, D]
-    cos = _coarse_cos(state.features_nb16, qn)                   # [B, M]
+    cos = _coarse_cos(state.features_nb16, qn, state.coarse_scale)
     # funnel-score dtype: bf16 halves the [B, M] intermediate traffic
     # (the exact f32 rerank restores exactness on the survivors)
     sdt = jnp.bfloat16 if config.flat_score_dtype == "bf16" else jnp.float32
@@ -809,14 +839,18 @@ def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
         qc = _to_coarse(qsg, state.features_nb16.dtype)          # [B, D]
         qp = jnp.pad(qc, ((0, Bp - B), (0, 0)))                  # [Bp, D]
         kernel_tile_m = config.flat_tile_m
+        # per-row dequant scale folds into the kernel's per-row affine
+        # term (true cos = acc·scale/127²; queries stay globally scaled
+        # on this path — the block-max funnel only needs relative order)
         mul2d, add2d = pack_row_terms(
-            jax.lax.stop_gradient(mul), jax.lax.stop_gradient(add),
+            jax.lax.stop_gradient(mul * state.coarse_scale),
+            jax.lax.stop_gradient(add),
             M, kernel_tile_m)
         bm = flat_blockmax(state.features_nb16, qp, mul2d, add2d,
                            interpret=default_interpret(),
                            tile_m=kernel_tile_m)[:B]             # [B, Nblk]
     else:
-        cos = _coarse_cos(state.features_nb16, qn)               # [B, M]
+        cos = _coarse_cos(state.features_nb16, qn, state.coarse_scale)
         combined = cos * mul[None, :] + add[None, :]
         if query_locations is not None:
             d = jnp.sqrt(jnp.sum(

@@ -53,7 +53,10 @@ from aura_snn_rag_tpu.memory.engine import (
 class SpillDeviceState(NamedTuple):
     """Device-resident half of the spilled bank (coarse rows + metadata)."""
 
-    coarse: jax.Array     # [M, D] int8 (127-scaled) or bf16, L2-normalized
+    coarse: jax.Array     # [M, D] int8 (per-row max-abs scaled) or bf16,
+                          #   L2-normalized rows
+    scale: jax.Array      # [M] f32 per-row dequant scale (int8: row max-abs,
+                          #   true cos = acc*scale/127^2; bf16: 1.0)
     strength: jax.Array   # [M] f32 decayable strength
     timestamp: jax.Array  # [M] f32 logical write step
 
@@ -65,6 +68,7 @@ class SpillDeviceState(NamedTuple):
 def _init_device(M: int, D: int, coarse_dtype) -> SpillDeviceState:
     return SpillDeviceState(
         coarse=jnp.zeros((M, D), coarse_dtype),
+        scale=jnp.ones((M,), jnp.float32),
         strength=jnp.zeros((M,), jnp.float32),
         timestamp=jnp.zeros((M,), jnp.float32),
     )
@@ -72,7 +76,8 @@ def _init_device(M: int, D: int, coarse_dtype) -> SpillDeviceState:
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _device_write_slice(dev: SpillDeviceState, start: jax.Array,
-                        rows: jax.Array, step: jax.Array) -> SpillDeviceState:
+                        rows: jax.Array, scales: jax.Array,
+                        step: jax.Array) -> SpillDeviceState:
     """Contiguous-range write via dynamic_update_slice (donated, in-place).
 
     Quantization happens host-side (`_host_coarse`) so a bulk ingest
@@ -85,6 +90,8 @@ def _device_write_slice(dev: SpillDeviceState, start: jax.Array,
     return dev._replace(
         coarse=jax.lax.dynamic_update_slice(
             dev.coarse, rows, (start, jnp.int32(0))),
+        scale=jax.lax.dynamic_update_slice(
+            dev.scale, scales.astype(jnp.float32), (start,)),
         strength=jax.lax.dynamic_update_slice(
             dev.strength, jnp.ones((B,), jnp.float32), (start,)),
         timestamp=jax.lax.dynamic_update_slice(
@@ -92,12 +99,17 @@ def _device_write_slice(dev: SpillDeviceState, start: jax.Array,
     )
 
 
-def _host_coarse(feats: np.ndarray, dtype) -> np.ndarray:
-    """numpy mirror of engine._to_coarse on L2-normalized rows."""
+def _host_coarse(feats: np.ndarray, dtype):
+    """numpy mirror of engine._to_coarse_rows on L2-normalized rows:
+    per-row max-abs int8 quantization -> (rows, scales [B] f32)."""
     qn = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
     if dtype == jnp.int8:
-        return np.clip(np.round(qn * 127.0), -127, 127).astype(np.int8)
-    return jnp.asarray(qn).astype(dtype)  # bf16 via jnp (numpy lacks bf16)
+        s = np.maximum(np.max(np.abs(qn), axis=1, keepdims=True), 1e-12)
+        q = np.clip(np.round(qn * (127.0 / s)), -127, 127).astype(np.int8)
+        return q, s[:, 0].astype(np.float32)
+    # bf16 via jnp (numpy lacks bf16)
+    return (jnp.asarray(qn).astype(dtype),
+            np.ones(qn.shape[0], np.float32))
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -141,7 +153,9 @@ def _device_funnel(dev: SpillDeviceState, q: jax.Array,
     ages = (step - dev.timestamp) * seconds_per_step
     temporal = jnp.exp(-jnp.maximum(ages, 0.0) / temporal_tau)
     active = jnp.arange(M) < active_count
-    mul = jnp.where(active, w_cosine * dev.strength, 0.0)
+    # per-row dequant scale folds into the cos multiplier: the kernel and
+    # the fallback both compute cos = acc/127^2, true cos = acc*scale/127^2
+    mul = jnp.where(active, w_cosine * dev.strength * dev.scale, 0.0)
     add = jnp.where(active, w_temporal * temporal * dev.strength, NEG_INF)
 
     kernel_tile_m = None          # set on the kernel path (strided blocks)
@@ -242,25 +256,28 @@ class SpilledBank:
             self.host_locations[slots] = 0.0
         self.host_strength[slots] = 1.0
         self.host_timestamp[slots] = self.step
-        rows = _host_coarse(feats, self.dev.coarse.dtype)
+        rows, scales = _host_coarse(feats, self.dev.coarse.dtype)
         start = int(self.count % M)
         self.count += B
-        return rows, slots, start
+        return (rows, scales), slots, start
 
-    def _device_write(self, rows, start: int) -> None:
+    def _device_write(self, rows_scales, start: int) -> None:
         """Device half: upload + ring write (at most two contiguous
         segments via dynamic_update_slice — block copies, not row
         scatters). Safe to run on a worker thread: it only touches
         `self.dev` and JAX dispatch releases the GIL during transfers."""
+        rows, scales = rows_scales
         B = rows.shape[0]
         M = self.config.max_memories
         first = min(B, M - start)
         step = jnp.float32(self.step)
         self.dev = _device_write_slice(
-            self.dev, jnp.int32(start), jnp.asarray(rows[:first]), step)
+            self.dev, jnp.int32(start), jnp.asarray(rows[:first]),
+            jnp.asarray(scales[:first]), step)
         if first < B:
             self.dev = _device_write_slice(
-                self.dev, jnp.int32(0), jnp.asarray(rows[first:]), step)
+                self.dev, jnp.int32(0), jnp.asarray(rows[first:]),
+                jnp.asarray(scales[first:]), step)
 
     def write(self, features: np.ndarray,
               locations: Optional[np.ndarray] = None) -> np.ndarray:

@@ -35,6 +35,14 @@ class MemoryState(NamedTuple):
     # --- bank (row-indexed by bank slot) ---
     features: jax.Array       # [M, D] f32 raw stored features
     features_nb16: jax.Array  # [M, D] bf16 L2-normalized copy (flat-scan path)
+    coarse_scale: jax.Array   # [M] f32 per-row dequant scale of the coarse
+                              #   copy. int8 banks quantize each row by its
+                              #   own max-abs (full +-127 range: components
+                              #   of an L2-normalized 768-dim row are
+                              #   ~1/sqrt(D)~0.036, so a global 127 scale
+                              #   would use only ~+-5 levels); dequantized
+                              #   cos = acc * coarse_scale / 127. bf16
+                              #   banks keep 1.0 (plain cast).
     locations: jax.Array      # [M, S] f32 spatial coordinates at write time
     strength: jax.Array       # [M]    f32 decayable strength (init 1.0)
     timestamp: jax.Array      # [M]    f32 logical step at write
@@ -95,6 +103,7 @@ def init_memory_state(config: MemoryConfig, dtype=jnp.float32,
     return MemoryState(
         features=jnp.zeros((M, D), dtype),
         features_nb16=jnp.zeros((M, D), coarse_dtype),
+        coarse_scale=jnp.ones((M,), jnp.float32),
         locations=jnp.zeros((M, S), dtype),
         strength=jnp.zeros((M,), dtype),
         timestamp=jnp.zeros((M,), dtype),

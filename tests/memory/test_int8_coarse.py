@@ -48,10 +48,16 @@ def test_int8_write_path_roundtrip():
     rng = np.random.RandomState(1)
     f = jnp.asarray(rng.randn(16, 64).astype(np.float32))
     st = write_memories(cfg, st, f, jnp.zeros((16, 2)))
-    # quantized rows reconstruct the normalized vectors to ~1/127
+    # quantized rows reconstruct the normalized vectors to ~scale/254
+    # (per-row max-abs quantization: dequant = q * coarse_scale / 127)
     fn = np.asarray(f) / np.linalg.norm(np.asarray(f), axis=1, keepdims=True)
-    got = np.asarray(st.features_nb16[:16], np.float32) / 127.0
-    assert np.abs(got - fn).max() < (0.5 / 127) * 1.01
+    scale = np.asarray(st.coarse_scale[:16])[:, None]
+    np.testing.assert_allclose(scale[:, 0],
+                               np.abs(fn).max(axis=1), rtol=1e-6)
+    got = np.asarray(st.features_nb16[:16], np.float32) * scale / 127.0
+    assert np.abs(got - fn).max() < (0.5 / 127) * scale.max() * 1.01
+    # per-row scaling must beat the old global-127 bound by ~1/max|fn|
+    assert np.abs(got - fn).max() < 0.5 / 127
     # and self-retrieval works through the quantized coarse scan
     res = retrieve_flat(cfg, st, f[:4], None, 3)
     np.testing.assert_array_equal(np.asarray(res.indices)[:, 0],
@@ -103,3 +109,37 @@ def test_bf16_score_chain_with_locations():
     np.testing.assert_array_equal(idxs["bf16"], idxs["f32"])
     row = list(idxs["bf16"][0])
     assert row.index(20) < row.index(10)
+
+
+def test_per_row_scale_cuts_coarse_noise():
+    """The per-row max-abs scale must cut int8 coarse-cos error several-fold
+    vs the global-127 convention. At the production D=768, components of an
+    L2-normalized row are ~1/sqrt(768)~0.036 and the row max-abs ~0.15, so
+    the global 127 scale uses only ~1/7 of the int8 range."""
+    from aura_snn_rag_tpu.memory.engine import _coarse_cos, _l2norm
+
+    rng = np.random.RandomState(7)
+    D = 768
+    feats = rng.randn(1024, D).astype(np.float32)
+    q = jnp.asarray(_l2norm(jnp.asarray(
+        rng.randn(16, D).astype(np.float32))))
+
+    cfg = dataclasses.replace(_cfg(coarse_dtype="int8"),
+                              max_memories=1024, feature_dim=D)
+    st = bulk_load(cfg, init_memory_state(cfg), jnp.asarray(feats),
+                   jnp.zeros((1024, 2), np.float32))
+    exact = np.asarray(jnp.einsum(
+        "bd,md->bm", q,
+        _l2norm(jnp.asarray(feats)).astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST))
+
+    scaled = np.asarray(_coarse_cos(st.features_nb16, q, st.coarse_scale))
+    # global-convention coarse rows for comparison
+    fn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    g8 = jnp.asarray(np.clip(np.round(fn * 127.0), -127, 127), jnp.int8)
+    legacy = np.asarray(_coarse_cos(g8, q, None))
+
+    err_scaled = np.abs(scaled - exact).mean()
+    err_legacy = np.abs(legacy - exact).mean()
+    assert err_scaled * 4 < err_legacy, (err_scaled, err_legacy)
+    assert err_scaled < 1e-3, err_scaled
