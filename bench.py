@@ -171,8 +171,16 @@ def tpu_bench(feats, queries):
                        n_place_cells=16, n_grid_cells=8, n_time_cells=4,
                        **kernel_kw)
     state = init_memory_state(cfg)
+    t_ing = time.perf_counter()
     f = jnp.asarray(feats)
     state = bulk_load(cfg, state, f, jnp.zeros((N, 2), jnp.float32))
+    # fence the ingest (async dispatch): without this the cold-build timer
+    # below absorbs the multi-GB host->device feats transfer + bulk_load
+    # execution — the source of the 100-500 s "cold build" variance across
+    # rounds (r1 187 s / r2 1174 s / r3 232 s): it was tunnel throughput,
+    # not compile time. Ingest is reported separately below.
+    np.asarray(state.count)
+    ingest_s = time.perf_counter() - t_ing
 
     # NOTE: on the axon tunnel platform block_until_ready does not reliably
     # synchronize; a host transfer (np.asarray) of a small output is the
@@ -212,7 +220,8 @@ def tpu_bench(feats, queries):
 
     approx_idx = np.concatenate([np.asarray(r.indices)
                                  for r in flat_results])
-    return flat_qps, ivf_qps, build_s, build_cold_s, approx_idx, state
+    return (flat_qps, ivf_qps, build_s, build_cold_s, ingest_s,
+            approx_idx, state)
 
 
 def exact_topk_numpy(feats, queries, k):
@@ -293,7 +302,7 @@ def main():
     pick = rng.randint(0, N, QUERY_BATCH * N_QUERY_BATCHES)
     queries = feats[pick] + 0.5 * rng.randn(len(pick), D).astype(np.float32)
 
-    qps, ivf_qps, build_s, build_cold_s, approx_idx, _ = \
+    qps, ivf_qps, build_s, build_cold_s, ingest_s, approx_idx, _ = \
         tpu_bench(feats, queries)
 
     # exact ground truth on a subsample of queries (numpy, f64-safe).
@@ -332,6 +341,7 @@ def main():
         "ivf_qps": round(ivf_qps, 1),
         "index_build_s": round(build_s, 3),
         "index_build_cold_s": round(build_cold_s, 3),
+        "ingest_transfer_s": round(ingest_s, 3),
         "baseline_build_s": round(ref_build_s, 3),
         "n_vectors": N,
         "coarse_dtype": COARSE_DTYPE,
