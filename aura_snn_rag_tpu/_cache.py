@@ -2,14 +2,48 @@
 
 Compile times dominate iteration on both CPU and TPU; a shared on-disk cache
 makes every process after the first start warm.
+
+The cache directory is keyed by (platform, host-CPU fingerprint, jax version):
+CPU AOT entries embed the compiling host's CPU features and fail to load on a
+machine with different features (cpu_aot_loader machine-feature mismatch), and
+entries from different backends sharing one directory trigger the same noisy
+reload-then-recompile path. One subdirectory per (platform, host) keeps every
+entry loadable where it sits.
 """
 
+import hashlib
 import os
+import platform as _platform
 
 import jax
 
-_CACHE_DIR = os.environ.get(
-    "AURA_JAX_CACHE_DIR", os.path.expanduser("~/.cache/aura_jax_cache"))
+
+def _host_fingerprint() -> str:
+    parts = [_platform.machine(), jax.__version__]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        parts.append(_platform.processor() or "unknown-cpu")
+    # the platform the process will use: an explicit jax_platforms config
+    # (set by callers before importing this package) wins, then the env var,
+    # else whatever auto-selection picks (distinct dir from forced modes)
+    platforms = None
+    try:
+        platforms = jax.config.jax_platforms
+    except AttributeError:
+        pass
+    parts.append(platforms or os.environ.get("JAX_PLATFORMS") or "auto")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
+_CACHE_DIR = os.environ.get("AURA_JAX_CACHE_DIR")
+if _CACHE_DIR is None:
+    _CACHE_DIR = os.path.join(
+        os.path.expanduser("~/.cache/aura_jax_cache"), _host_fingerprint())
 
 try:
     os.makedirs(_CACHE_DIR, exist_ok=True)

@@ -164,6 +164,15 @@ class MemoryConfig:
     # serial stages that bound the 10M tier. 0, or a value >= the block
     # funnel width, disables the second stage (single-stage block funnel).
     spill_funnel_rows: int = 192
+    # Host-spilled bank query chunking: the device funnel runs queries in
+    # chunks of this size (lax.map). Bounds the [chunk, M/8] f32 block-max
+    # surface — at B=1024 x 10M rows the unchunked surface was 4.77 GB
+    # PLUS an equal-size relayout copy next to the 7.2 GB coarse bank
+    # (compile-time HBM OOM, runs/hs_r4_b1024.errlog). 256 keeps the temp
+    # at 1.2 GB for 10M rows; the extra bank reads (~10 ms each) are noise
+    # next to the transfer+rerank stages the big batch amortizes. Must be
+    # a multiple of 128 (kernel batch alignment); 0 disables chunking.
+    spill_query_chunk: int = 256
 
     @property
     def bucket_capacity(self) -> int:

@@ -836,17 +836,20 @@ def _retrieve_flat_blockmax(config: MemoryConfig, state: MemoryState,
         # queries carry tangents (e.g. in-train-step retrieval).
         qsg = jax.lax.stop_gradient(qn)
         Bp = max(128, ((B + 127) // 128) * 128)
-        qc = _to_coarse(qsg, state.features_nb16.dtype)          # [B, D]
+        qc, qscale = _to_coarse_rows(qsg, state.features_nb16.dtype)
         qp = jnp.pad(qc, ((0, Bp - B), (0, 0)))                  # [Bp, D]
+        qs_p = jnp.pad(qscale, (0, Bp - B), constant_values=1.0)
         kernel_tile_m = config.flat_tile_m
         # per-row dequant scale folds into the kernel's per-row affine
-        # term (true cos = acc·scale/127²; queries stay globally scaled
-        # on this path — the block-max funnel only needs relative order)
+        # term, the per-QUERY max-abs scale into its [B, 1] epilogue
+        # factor: true cos = acc·row_scale·q_scale/127² — both sides now
+        # use the full ±127 range (same noise fix as _coarse_cos)
         mul2d, add2d = pack_row_terms(
             jax.lax.stop_gradient(mul * state.coarse_scale),
             jax.lax.stop_gradient(add),
             M, kernel_tile_m)
         bm = flat_blockmax(state.features_nb16, qp, mul2d, add2d,
+                           q_scale=jax.lax.stop_gradient(qs_p),
                            interpret=default_interpret(),
                            tile_m=kernel_tile_m)[:B]             # [B, Nblk]
     else:

@@ -47,7 +47,7 @@ import numpy as np
 
 from aura_snn_rag_tpu.config import MemoryConfig
 from aura_snn_rag_tpu.memory.engine import (
-    NEG_INF, RetrievalResult, _to_coarse, select_block_candidates)
+    NEG_INF, RetrievalResult, _to_coarse_rows, select_block_candidates)
 
 
 class SpillDeviceState(NamedTuple):
@@ -121,17 +121,20 @@ def _device_decay(dev: SpillDeviceState, rate: jax.Array) -> SpillDeviceState:
                    static_argnames=("funnel_blocks", "k", "w_cosine",
                                     "w_temporal", "temporal_tau",
                                     "seconds_per_step", "use_kernel",
-                                    "row_funnel"))
+                                    "row_funnel", "query_chunk"))
 def _device_funnel(dev: SpillDeviceState, q: jax.Array,
+                   q_scale: jax.Array,
                    active_count: jax.Array, step: jax.Array, *,
                    funnel_blocks: int, k: int, w_cosine: float,
                    w_temporal: float, temporal_tau: float,
                    seconds_per_step: float, use_kernel: bool,
-                   row_funnel: int = 0):
+                   row_funnel: int = 0, query_chunk: int = 256):
     """Phase 1 on device: coarse scan -> funnel candidate slots + metadata.
 
     q: [Bp, D] coarse-dtype queries, Bp a multiple of 128 (kernel path) —
-    the caller slices the true B back out.
+    the caller slices the true B back out. q_scale: [Bp] f32 per-query
+    max-abs dequant scales (1.0 on the bf16 path) — the query-side noise
+    fix matching the bank rows' per-row scale (engine._to_coarse_rows).
     Returns cand_slots [Bp, F] i32 with -1 marking dead/invalid
     candidates — the ONLY downstream traffic (the host mirrors
     strength/timestamp, so the exact rerank's metadata terms come from
@@ -144,12 +147,23 @@ def _device_funnel(dev: SpillDeviceState, q: jax.Array,
     ([Bp, F, D] int8, HBM-speed) and keeps only the top-row_funnel by
     exact-coarse combined score — shrinking BOTH the transfer and the host
     f32 rerank by F/row_funnel at the cost of one cheap device gather.
+
+    query_chunk (config.spill_query_chunk): queries run through the scan
+    in chunks of this size (lax.map). The block-max surface is
+    [chunk, M/R] f32 — at B=1024 x 10M rows the unchunked surface was
+    4.77 GB PLUS a same-size relayout copy feeding the block top-k, a
+    compile-time HBM OOM next to the 7.2 GB coarse bank (the round-4
+    B=1024 failure). Chunking bounds the temp at chunk·M/R·4 bytes
+    (1.2 GB at 256 x 10M) for n_chunks sequential bank reads; the scan is
+    ~10 ms of the ~1 s 10M funnel budget, so the extra reads are noise
+    next to the transfer+rerank the big batch amortizes.
     """
     from aura_snn_rag_tpu.ops.pallas.flat_scan import (
         BLOCK_R, TILE_M, default_interpret, flat_blockmax, pack_row_terms)
 
     M = dev.max_memories
     R = BLOCK_R
+    Bp = q.shape[0]
     ages = (step - dev.timestamp) * seconds_per_step
     temporal = jnp.exp(-jnp.maximum(ages, 0.0) / temporal_tau)
     active = jnp.arange(M) < active_count
@@ -158,47 +172,61 @@ def _device_funnel(dev: SpillDeviceState, q: jax.Array,
     mul = jnp.where(active, w_cosine * dev.strength * dev.scale, 0.0)
     add = jnp.where(active, w_temporal * temporal * dev.strength, NEG_INF)
 
-    kernel_tile_m = None          # set on the kernel path (strided blocks)
+    kernel_tile_m = TILE_M if use_kernel else None
+    mul2d = add2d = None
     if use_kernel:
-        kernel_tile_m = TILE_M
         mul2d, add2d = pack_row_terms(mul, add, M, kernel_tile_m)
-        bm = flat_blockmax(dev.coarse, q, mul2d, add2d,
-                           interpret=default_interpret())   # [Bp, Nblk]
-    else:  # XLA fallback (CPU tests): same math, [Bp, M] materialized
+
+    def funnel_chunk(args) -> jax.Array:
+        qc, qs = args                     # [C, D] coarse queries, [C] f32
+        if use_kernel:
+            bm = flat_blockmax(dev.coarse, qc, mul2d, add2d, q_scale=qs,
+                               interpret=default_interpret())  # [C, Nblk]
+        else:  # XLA fallback (CPU tests): same math, [C, M] materialized
+            if dev.coarse.dtype == jnp.int8:
+                acc = jnp.einsum("md,bd->bm", dev.coarse, qc,
+                                 preferred_element_type=jnp.int32)
+                cos = acc.astype(jnp.float32) \
+                    * (qs[:, None] * (1.0 / (127.0 * 127.0)))
+            else:
+                cos = jnp.einsum("md,bd->bm", dev.coarse,
+                                 qc).astype(jnp.float32)
+            combined = cos * mul[None, :] + add[None, :]
+            pad = (-M) % R
+            if pad:
+                combined = jnp.pad(combined, ((0, 0), (0, pad)),
+                                   constant_values=NEG_INF)
+            bm = combined.reshape(combined.shape[0], -1, R).max(axis=-1)
+
+        cand_slots, cand_valid = select_block_candidates(
+            bm, funnel_blocks, k, active_count, M, R, tile_m=kernel_tile_m)
+        F = cand_slots.shape[1]
+        if not (0 < row_funnel < F):
+            return jnp.where(cand_valid, cand_slots, -1).astype(jnp.int32)
+
+        # second stage: exact-coarse rescore of the F candidates, keep
+        # only the top rows
+        safe = jnp.where(cand_valid, cand_slots, 0)
+        rows = dev.coarse[safe]                              # [C, F, D]
         if dev.coarse.dtype == jnp.int8:
-            acc = jnp.einsum("md,bd->bm", dev.coarse, q,
+            acc = jnp.einsum("bfd,bd->bf", rows, qc,
                              preferred_element_type=jnp.int32)
-            cos = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+            cos = acc.astype(jnp.float32) \
+                * (qs[:, None] * (1.0 / (127.0 * 127.0)))
         else:
-            cos = jnp.einsum("md,bd->bm", dev.coarse,
-                             q).astype(jnp.float32)
-        combined = cos * mul[None, :] + add[None, :]
-        pad = (-M) % R
-        if pad:
-            combined = jnp.pad(combined, ((0, 0), (0, pad)),
-                               constant_values=NEG_INF)
-        bm = combined.reshape(combined.shape[0], -1, R).max(axis=-1)
+            cos = jnp.einsum("bfd,bd->bf", rows, qc).astype(jnp.float32)
+        score = cos * mul[safe] + add[safe]
+        score = jnp.where(cand_valid, score, NEG_INF)
+        top_s, top_i = jax.lax.top_k(score, row_funnel)
+        out = jnp.take_along_axis(safe, top_i, axis=1)
+        return jnp.where(top_s > NEG_INF / 2, out, -1).astype(jnp.int32)
 
-    cand_slots, cand_valid = select_block_candidates(
-        bm, funnel_blocks, k, active_count, M, R, tile_m=kernel_tile_m)
-    F = cand_slots.shape[1]
-    if not (0 < row_funnel < F):
-        return jnp.where(cand_valid, cand_slots, -1).astype(jnp.int32)
-
-    # second stage: exact-coarse rescore of the F candidates, keep top rows
-    safe = jnp.where(cand_valid, cand_slots, 0)
-    rows = dev.coarse[safe]                                  # [Bp, F, D]
-    if dev.coarse.dtype == jnp.int8:
-        acc = jnp.einsum("bfd,bd->bf", rows, q,
-                         preferred_element_type=jnp.int32)
-        cos = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
-    else:
-        cos = jnp.einsum("bfd,bd->bf", rows, q).astype(jnp.float32)
-    score = cos * mul[safe] + add[safe]
-    score = jnp.where(cand_valid, score, NEG_INF)
-    top_s, top_i = jax.lax.top_k(score, row_funnel)
-    out = jnp.take_along_axis(safe, top_i, axis=1)
-    return jnp.where(top_s > NEG_INF / 2, out, -1).astype(jnp.int32)
+    if 0 < query_chunk < Bp and Bp % query_chunk == 0:
+        n = Bp // query_chunk
+        chunks = (q.reshape(n, query_chunk, q.shape[1]),
+                  q_scale.reshape(n, query_chunk))
+        return jax.lax.map(funnel_chunk, chunks).reshape(Bp, -1)
+    return funnel_chunk((q, q_scale))
 
 
 class SpilledBank:
@@ -334,11 +362,17 @@ class SpilledBank:
         B = qn.shape[0]
         use_kernel = self._kernel_ok()
         Bp = max(128, -(-B // 128) * 128) if use_kernel else B
-        qc = np.asarray(
-            _to_coarse(jnp.asarray(qn), self.dev.coarse.dtype))
+        # chunked funnel: Bp must divide evenly into query chunks
+        qc_chunk = self.config.spill_query_chunk
+        if 0 < qc_chunk < Bp:
+            Bp = -(-Bp // qc_chunk) * qc_chunk
+        qc, qs = _to_coarse_rows(jnp.asarray(qn), self.dev.coarse.dtype)
+        qc, qs = np.asarray(qc), np.asarray(qs)
         qp = np.zeros((Bp, qc.shape[1]), qc.dtype)
         qp[:B] = qc
-        return qn, jnp.asarray(qp), B, use_kernel
+        qsp = np.ones((Bp,), np.float32)
+        qsp[:B] = qs
+        return qn, jnp.asarray(qp), jnp.asarray(qsp), B, use_kernel
 
     def _kernel_ok(self) -> bool:
         if self.config.feature_dim % 128 != 0:
@@ -347,16 +381,17 @@ class SpilledBank:
         return pallas_available()
 
     def _dispatch_funnel(self, queries: np.ndarray):
-        qn, qp, B, use_kernel = self._prep_queries(queries)
+        qn, qp, qsp, B, use_kernel = self._prep_queries(queries)
         cfg = self.config
         out = _device_funnel(
-            self.dev, qp, jnp.int32(self.active_count),
+            self.dev, qp, qsp, jnp.int32(self.active_count),
             jnp.float32(self.step),
             funnel_blocks=cfg.flat_block_funnel, k=cfg.retrieve_k,
             w_cosine=cfg.w_cosine, w_temporal=cfg.w_temporal,
             temporal_tau=cfg.temporal_tau,
             seconds_per_step=cfg.seconds_per_step, use_kernel=use_kernel,
-            row_funnel=cfg.spill_funnel_rows)
+            row_funnel=cfg.spill_funnel_rows,
+            query_chunk=cfg.spill_query_chunk)
         return qn, B, out
 
     def _host_rerank(self, qn: np.ndarray, B: int, funnel, k: int,

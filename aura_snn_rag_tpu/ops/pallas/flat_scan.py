@@ -101,10 +101,14 @@ def block_member_slots(blocks: jax.Array, tile_m: int,
             + L * jnp.arange(block_r))
 
 
-def _kernel(bank_ref, q_ref, mul_ref, add_ref, out_ref, *, total_rows,
-            tile_m, block_r, inv_scale, int8_via_bf16):
+def _kernel(bank_ref, q_ref, mul_ref, add_ref, *rest, total_rows,
+            tile_m, block_r, inv_scale, int8_via_bf16, has_qscale):
     """One grid step: score a [tile_m, D] bank tile against all queries,
-    apply per-row affine metadata, reduce to [B, tile_m/block_r] maxima."""
+    apply per-row affine metadata, reduce to [B, tile_m/block_r] maxima.
+
+    rest = (qs_ref, out_ref) when has_qscale (qs_ref: [B, 1] f32
+    per-query dequant scales) else (out_ref,)."""
+    qs_ref, out_ref = rest if has_qscale else (None, rest[0])
     i = pl.program_id(0)
     nt = (((1,), (1,)), ((), ()))                         # q . bank^T
     if inv_scale is not None and int8_via_bf16:
@@ -128,6 +132,11 @@ def _kernel(bank_ref, q_ref, mul_ref, add_ref, out_ref, *, total_rows,
             else jnp.int32)                               # [B, tile_m]
     if inv_scale is not None:                             # int8 bank
         cos = acc.astype(jnp.float32) * inv_scale
+        if qs_ref is not None:
+            # per-query max-abs dequant: true cos = acc·q_scale·row_scale
+            # / 127² (row_scale rides in `mul`). [B, 1] broadcasts over
+            # the tile's lanes.
+            cos = cos * qs_ref[...]
     else:                                                 # bf16 bank
         cos = acc
     # combined = w_c*strength*cos + (w_t*temporal*strength) per row, with
@@ -161,7 +170,8 @@ def _kernel(bank_ref, q_ref, mul_ref, add_ref, out_ref, *, total_rows,
                    static_argnames=("interpret", "tile_m", "block_r",
                                     "int8_via_bf16"))
 def flat_blockmax(bank_coarse: jax.Array, q: jax.Array, mul: jax.Array,
-                  add: jax.Array, interpret: bool = False,
+                  add: jax.Array, q_scale: jax.Array = None,
+                  interpret: bool = False,
                   tile_m: int = TILE_M, block_r: int = BLOCK_R,
                   int8_via_bf16: bool = True) -> jax.Array:
     """Per-block maxima of the combined coarse score over the whole bank.
@@ -176,6 +186,14 @@ def flat_blockmax(bank_coarse: jax.Array, q: jax.Array, mul: jax.Array,
                  rows). The int8 accumulator's 1/127^2 dequantization is
                  applied IN-KERNEL — pass `mul` in cosine units for both
                  dtypes.
+    q_scale:     optional [B] f32 per-query max-abs dequant scales (int8
+                 banks): true cos = acc·q_scale·row_scale/127². Unit-norm
+                 768-dim queries have components ~1/sqrt(D), so global
+                 127-scale quantization uses only ~±5 int8 levels;
+                 per-query max-abs uses the full range (~7× less noise) —
+                 the same fix the bank rows got (engine._to_coarse_rows),
+                 applied query-side so narrow funnels stop dropping
+                 near-ties. None = global-scale queries (dequant 1/127²).
 
     Returns [B, n_tiles * tile_m / block_r] f32 block maxima under the
     strided-within-tile block layout (`block_member_slots`); padded tail
@@ -191,23 +209,32 @@ def flat_blockmax(bank_coarse: jax.Array, q: jax.Array, mul: jax.Array,
     assert mul.shape == (n_tiles8, tile_m) == add.shape, \
         (mul.shape, add.shape, n_tiles8, tile_m)
     is_int8 = bank_coarse.dtype == jnp.int8
+    has_qscale = q_scale is not None and is_int8
     kernel = functools.partial(
         _kernel, total_rows=M, tile_m=tile_m, block_r=block_r,
         inv_scale=(1.0 / (127.0 * 127.0)) if is_int8 else None,
-        int8_via_bf16=int8_via_bf16)
+        int8_via_bf16=int8_via_bf16, has_qscale=has_qscale)
+    in_specs = [
+        pl.BlockSpec((tile_m, D), lambda i: (i, 0)),      # bank tile
+        pl.BlockSpec((B, D), lambda i: (0, 0)),           # queries
+        # metadata rides in 8-tile groups (sublane-divisible block);
+        # the kernel row-slices its own tile — same block index for 8
+        # consecutive steps, so the pipeline skips the re-fetch
+        pl.BlockSpec((8, tile_m), lambda i: (i // 8, 0)),  # mul rows
+        pl.BlockSpec((8, tile_m), lambda i: (i // 8, 0)),  # add rows
+    ]
+    operands = [bank_coarse, q, mul, add]
+    if has_qscale:
+        # [B, 1] f32: tiled layout pads lanes to 128, but B <= ~1k makes
+        # that ~512 KB — nothing like the [M, 1] 10M-row padding disaster
+        # this kernel's v2 fixed (module docstring)
+        in_specs.append(pl.BlockSpec((B, 1), lambda i: (0, 0)))
+        operands.append(q_scale.astype(jnp.float32).reshape(B, 1))
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile_m, D), lambda i: (i, 0)),      # bank tile
-            pl.BlockSpec((B, D), lambda i: (0, 0)),           # queries
-            # metadata rides in 8-tile groups (sublane-divisible block);
-            # the kernel row-slices its own tile — same block index for 8
-            # consecutive steps, so the pipeline skips the re-fetch
-            pl.BlockSpec((8, tile_m), lambda i: (i // 8, 0)),  # mul rows
-            pl.BlockSpec((8, tile_m), lambda i: (i // 8, 0)),  # add rows
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B, L), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((B, n_blocks), jnp.float32),
         interpret=interpret,
-    )(bank_coarse, q, mul, add)
+    )(*operands)

@@ -82,6 +82,8 @@ RESCUE = next((int(a.split("=", 1)[1]) for a in sys.argv
                if a.startswith("--rescue=")), None)
 RESCUE_WIDTH = next((int(a.split("=", 1)[1]) for a in sys.argv
                      if a.startswith("--rescue-width=")), None)
+# ship ingest as f32 instead of the default f16-over-the-link (A/B flag)
+INGEST_F32 = "--ingest-f32" in sys.argv
 N = 100_000 if SMALL else 1_000_000
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
@@ -172,7 +174,16 @@ def tpu_bench(feats, queries):
                        **kernel_kw)
     state = init_memory_state(cfg)
     t_ing = time.perf_counter()
-    f = jnp.asarray(feats)
+    # ship f16 over the link (half the bytes of f32 — the tunnel uplink is
+    # the ingest bottleneck at ~7.6 MB/s), widen to f32 on device. The
+    # stored bank rows are therefore f16-rounded (~5e-4 relative); recall
+    # is measured against exact search over the same stored bank (the
+    # standard ANN contract) plus a separate fidelity check vs the
+    # original f32 data below. --ingest-f32 restores the old path.
+    if INGEST_F32:
+        f = jnp.asarray(feats)
+    else:
+        f = jnp.asarray(feats.astype(np.float16)).astype(jnp.float32)
     state = bulk_load(cfg, state, f, jnp.zeros((N, 2), jnp.float32))
     # fence the ingest (async dispatch): without this the cold-build timer
     # below absorbs the multi-GB host->device feats transfer + bulk_load
@@ -220,8 +231,33 @@ def tpu_bench(feats, queries):
 
     approx_idx = np.concatenate([np.asarray(r.indices)
                                  for r in flat_results])
+
+    # device-side EXACT ground truth over the stored bank: f32 cosine
+    # matmul + exact lax.top_k, chunked so the [C, N] score block stays
+    # ~512 MB. 1024+ queries x 10 = >=10k scored items — enough power to
+    # state recall >= 0.999 (128 queries could pass at true recall 0.998
+    # ~8% of the time). Ranking ties out to the engine's combined score
+    # because strengths/ages are uniform on a fresh bank.
+    n_eval = min(1024, len(queries))
+    fn = state.features[:N]
+    fn = fn * jax.lax.rsqrt(
+        jnp.sum(fn * fn, axis=1, keepdims=True) + 1e-12)
+
+    @jax.jit
+    def _exact_chunk(qc):
+        qcn = qc * jax.lax.rsqrt(
+            jnp.sum(qc * qc, axis=1, keepdims=True) + 1e-12)
+        cos = qcn @ fn.T
+        _, idx = jax.lax.top_k(cos, TOPK)
+        return idx
+
+    C = 128
+    exact_idx = np.concatenate([
+        np.asarray(_exact_chunk(q[i:i + C]))
+        for i in range(0, n_eval, C)])
+
     return (flat_qps, ivf_qps, build_s, build_cold_s, ingest_s,
-            approx_idx, state)
+            approx_idx, exact_idx, n_eval, state)
 
 
 def exact_topk_numpy(feats, queries, k):
@@ -302,15 +338,20 @@ def main():
     pick = rng.randint(0, N, QUERY_BATCH * N_QUERY_BATCHES)
     queries = feats[pick] + 0.5 * rng.randn(len(pick), D).astype(np.float32)
 
-    qps, ivf_qps, build_s, build_cold_s, ingest_s, approx_idx, _ = \
-        tpu_bench(feats, queries)
+    (qps, ivf_qps, build_s, build_cold_s, ingest_s, approx_idx,
+     exact_idx, n_eval, _) = tpu_bench(feats, queries)
 
-    # exact ground truth on a subsample of queries (numpy, f64-safe).
-    # 128 queries = 1280 scored items: enough resolution to distinguish
-    # recall 0.999 from 0.997 (the near-tie rescue's claim).
-    n_eval = min(128, len(queries))
-    exact = exact_topk_numpy(feats, queries[:n_eval], TOPK)
-    recall = recall_at_k(approx_idx[:n_eval], exact)
+    # recall@10 vs device-side exact search over the stored bank
+    # (>=1k queries, see tpu_bench)
+    recall = recall_at_k(approx_idx[:n_eval], exact_idx)
+
+    # fidelity check vs the ORIGINAL f32 data (host numpy): the f16
+    # ingest rounds stored rows ~5e-4; this verifies the retrieved
+    # neighbors still match exact search over the unrounded data.
+    # 128 queries keeps the 1-core host matmul affordable (~4 s).
+    n_fid = min(128, len(queries))
+    exact_f32 = exact_topk_numpy(feats, queries[:n_fid], TOPK)
+    recall_f32 = recall_at_k(approx_idx[:n_fid], exact_f32)
 
     # --- Python baseline (reference math) ---
     t0 = time.perf_counter()
@@ -328,7 +369,7 @@ def main():
     ref_qps = 1.0 / float(np.median(lats))
     ref_recall = recall_at_k(
         np.stack([r[:TOPK] for r in ref_results]),
-        exact[:BASELINE_QUERIES])
+        exact_f32[:BASELINE_QUERIES])
 
     print(json.dumps({
         "metric": f"episodic retrieval QPS/chip @ {N} vectors (recall@10 matched)",
@@ -336,6 +377,8 @@ def main():
         "unit": "queries/s",
         "vs_baseline": round(qps / ref_qps, 2),
         "recall_at_10": round(recall, 4),
+        "recall_eval_queries": n_eval,
+        "recall_at_10_vs_f32_data": round(recall_f32, 4),
         "baseline_recall_at_10": round(ref_recall, 4),
         "baseline_qps": round(ref_qps, 2),
         "ivf_qps": round(ivf_qps, 1),

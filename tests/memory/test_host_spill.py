@@ -226,3 +226,35 @@ def test_two_stage_funnel_shape_is_row_funnel():
     bank.write(_data(300, 128, seed=13))
     _, _, funnel = bank._dispatch_funnel(_data(8, 128, seed=14))
     assert funnel.shape[1] == 32
+
+
+def test_query_chunked_funnel_matches_unchunked():
+    """spill_query_chunk > 0 runs the device funnel through lax.map in
+    fixed-size chunks (the B=1024 x 10M HBM-OOM fix); results must be
+    identical to the single-dispatch funnel for any B, including B not a
+    multiple of the chunk (caller pads)."""
+    feats = _data(400, 128, seed=7)
+    q = _data(300, 128, seed=8)   # 300 % 128 != 0: exercises pad + slice
+    outs = {}
+    for chunk in (0, 128):
+        cfg = _cfg(spill_query_chunk=chunk)
+        bank = SpilledBank(cfg)
+        bank.write(feats)
+        outs[chunk] = bank.retrieve(q, k=10)
+    np.testing.assert_array_equal(outs[0].indices, outs[128].indices)
+    np.testing.assert_allclose(outs[0].scores, outs[128].scores, rtol=1e-6)
+
+
+def test_query_chunked_two_stage_funnel():
+    """Chunking composes with the second-stage row funnel."""
+    feats = _data(400, 128, seed=9)
+    q = _data(256, 128, seed=10)
+    cfg = _cfg(spill_query_chunk=128, spill_funnel_rows=32)
+    bank = SpilledBank(cfg)
+    bank.write(feats)
+    cfg0 = _cfg(spill_query_chunk=0, spill_funnel_rows=32)
+    bank0 = SpilledBank(cfg0)
+    bank0.write(feats)
+    a = bank.retrieve(q, k=5)
+    b = bank0.retrieve(q, k=5)
+    np.testing.assert_array_equal(a.indices, b.indices)
