@@ -84,7 +84,8 @@ RESCUE_WIDTH = next((int(a.split("=", 1)[1]) for a in sys.argv
                      if a.startswith("--rescue-width=")), None)
 # ship ingest as f32 instead of the default f16-over-the-link (A/B flag)
 INGEST_F32 = "--ingest-f32" in sys.argv
-N = 100_000 if SMALL else 1_000_000
+N = next((int(a.split("=", 1)[1]) for a in sys.argv
+          if a.startswith("--n=")), 100_000 if SMALL else 1_000_000)
 D = 768
 # index partition scales ~sqrt(N): finer K + proportional probe keeps the
 # scanned fraction ~3% (like the reference's 8/256) while bounding cluster
@@ -239,21 +240,22 @@ def tpu_bench(feats, queries):
     # ~8% of the time). Ranking ties out to the engine's combined score
     # because strengths/ages are uniform on a fresh bank.
     n_eval = min(1024, len(queries))
-    fn = state.features[:N]
-    fn = fn * jax.lax.rsqrt(
-        jnp.sum(fn * fn, axis=1, keepdims=True) + 1e-12)
 
     @jax.jit
-    def _exact_chunk(qc):
+    def _exact_chunk(bank_f32, qc):
+        fnb = bank_f32 * jax.lax.rsqrt(
+            jnp.sum(bank_f32 * bank_f32, axis=1, keepdims=True) + 1e-12)
         qcn = qc * jax.lax.rsqrt(
             jnp.sum(qc * qc, axis=1, keepdims=True) + 1e-12)
-        cos = qcn @ fn.T
+        # TPU default matmul precision is bf16 even for f32 operands —
+        # the ground truth must be exact, not a second approximation
+        cos = jnp.matmul(qcn, fnb.T, precision=jax.lax.Precision.HIGHEST)
         _, idx = jax.lax.top_k(cos, TOPK)
         return idx
 
     C = 128
     exact_idx = np.concatenate([
-        np.asarray(_exact_chunk(q[i:i + C]))
+        np.asarray(_exact_chunk(state.features, q[i:i + C]))
         for i in range(0, n_eval, C)])
 
     return (flat_qps, ivf_qps, build_s, build_cold_s, ingest_s,

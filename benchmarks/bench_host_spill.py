@@ -34,7 +34,9 @@ TOPK = 10
 QUERY_BATCH = next((int(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--batch=")), 128)
 N_QUERY_BATCHES = max(2, (1024 if SMALL else 2048) // QUERY_BATCH)
-N_EVAL = 64          # queries scored against exact ground truth
+N_EVAL = 256         # queries scored against exact ground truth (2560
+                     # items: resolves the fb32-vs-fb64 recall A/B;
+                     # ~80 s of host matmul at 10M rows)
 N_CENTERS = 4096
 CHUNK = 262_144
 # Per-stage attribution of the retrieve_stream pipeline (device funnel /
@@ -44,6 +46,11 @@ BREAKDOWN = "--breakdown" in sys.argv
 # rows; 16 = 128 rows matches the device-resident scan's default funnel).
 FUNNEL_BLOCKS = next((int(a.split("=", 1)[1]) for a in sys.argv
                       if a.startswith("--funnel-blocks=")), 64)
+# Second-stage row funnel width (config.spill_funnel_rows): the device
+# keeps only this many exact-coarse-rescored rows per query — the knob
+# that scales BOTH the device->host transfer and the host-rerank gather.
+FUNNEL_ROWS = next((int(a.split("=", 1)[1]) for a in sys.argv
+                    if a.startswith("--funnel-rows=")), None)
 
 
 def chunk_factory(seed0=0):
@@ -65,11 +72,14 @@ def main():
     from aura_snn_rag_tpu.config import MemoryConfig
     from aura_snn_rag_tpu.memory.host_spill import SpilledBank
 
+    rows_kw = {} if FUNNEL_ROWS is None else {
+        "spill_funnel_rows": FUNNEL_ROWS}
     cfg = MemoryConfig(
         max_memories=N, feature_dim=D, retrieve_k=TOPK,
         coarse_dtype="int8", flat_block_funnel=FUNNEL_BLOCKS,
         # unused index knobs kept tiny (the spilled bank is flat-funnel)
-        k_centroids=16, n_place_cells=8, n_grid_cells=4, n_time_cells=2)
+        k_centroids=16, n_place_cells=8, n_grid_cells=4, n_time_cells=2,
+        **rows_kw)
     bank = SpilledBank(cfg)
     make = chunk_factory()
 
@@ -156,6 +166,9 @@ def main():
         "recall_at_10": round(recall, 4),
         "ingest_s": round(ingest_s, 1),
         "n_vectors": N, "coarse_dtype": "int8",
+        "batch": QUERY_BATCH, "funnel_blocks": FUNNEL_BLOCKS,
+        "funnel_rows": cfg.spill_funnel_rows,
+        "query_chunk": cfg.spill_query_chunk,
         "hbm_resident_gb": round(hbm_gb, 2),
         "host_resident_gb": round(host_gb, 2),
     }))
