@@ -22,28 +22,11 @@ import numpy as np
 
 
 def _load_native():
-    native_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "native")
-    path = os.path.join(native_dir, "libaura_native.so")
-    if not os.path.exists(path):
-        # best-effort one-time build (g++ is in the image)
-        src = os.path.join(native_dir, "hash_embedder.cpp")
-        if os.path.exists(src):
-            import subprocess
-            try:
-                # portable baseline ISA (no -march=native): the built .so
-                # may travel with the checkout; an AVX-512 artifact would
-                # SIGILL on older hosts. The kernel is hash/scatter-bound,
-                # not SIMD-bound, so the cost is negligible.
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", path, src],
-                    check=True, capture_output=True, timeout=120)
-            except Exception:
-                return None
-    if not os.path.exists(path):
+    from aura_snn_rag_tpu._native import load
+    lib = load()
+    if lib is None:
         return None
     try:
-        lib = ctypes.CDLL(path)
         lib.aura_hash_embed.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -57,7 +40,7 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int64]
         lib.aura_token_indices.restype = ctypes.c_int
         return lib
-    except OSError:
+    except (OSError, AttributeError):
         return None
 
 

@@ -50,6 +50,33 @@ from aura_snn_rag_tpu.memory.engine import (
     NEG_INF, RetrievalResult, _to_coarse_rows, select_block_candidates)
 
 
+def _load_rerank_native():
+    """ctypes handle to the fused native rerank (native/spill_rerank.cpp),
+    or None — the numpy path below is the reference implementation."""
+    import ctypes
+
+    from aura_snn_rag_tpu._native import load
+    lib = load()
+    if lib is None:
+        return None
+    try:
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.aura_spill_rerank.argtypes = [
+            f32p, f32p, f32p, f32p,                       # bank mirrors
+            ctypes.POINTER(ctypes.c_int32), f32p,         # slots, queries
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,               # scalars
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,                               # B, F, D, k
+            ctypes.POINTER(ctypes.c_int64), f32p]         # outputs
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+_RERANK_NATIVE = _load_rerank_native()
+
+
 class SpillDeviceState(NamedTuple):
     """Device-resident half of the spilled bank (coarse rows + metadata)."""
 
@@ -395,9 +422,13 @@ class SpilledBank:
         return qn, B, out
 
     def _host_rerank(self, qn: np.ndarray, B: int, funnel, k: int,
-                     query_locations: Optional[np.ndarray]):
+                     query_locations: Optional[np.ndarray],
+                     use_native: bool = True):
         slots_signed = np.asarray(funnel)[:B]            # [B, F], -1 = dead
         cfg = self.config
+        if (use_native and _RERANK_NATIVE is not None
+                and query_locations is None):
+            return self._host_rerank_native(qn, slots_signed, k)
         live = slots_signed >= 0
         cand_slots = np.maximum(slots_signed, 0)
         # metadata terms from the host mirrors (bit-exact with the device
@@ -436,6 +467,42 @@ class SpilledBank:
         feats = np.where(hit[..., None],
                          self.host_features[np.maximum(slots, 0)], 0.0)
         return RetrievalResult(slots, np.where(hit, scores, 0.0), feats)
+
+    def _host_rerank_native(self, qn: np.ndarray, slots_signed: np.ndarray,
+                            k: int) -> RetrievalResult:
+        """Fused gather+score+top-k in C++ (native/spill_rerank.cpp): each
+        candidate row streams once into a dot-product accumulator instead
+        of materializing the [B, F, D] gather (604 MB at B=1024/F=192)
+        and re-reading it through BLAS. Same math as the numpy path
+        (parity-tested); spatial queries fall back to numpy."""
+        import ctypes
+
+        cfg = self.config
+        B, F = slots_signed.shape
+        kk = min(k, F)
+        qn32 = np.ascontiguousarray(qn, np.float32)
+        slots_c = np.ascontiguousarray(slots_signed, np.int32)
+        out_slots = np.empty((B, kk), np.int64)
+        out_scores = np.empty((B, kk), np.float32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        _RERANK_NATIVE.aura_spill_rerank(
+            self.host_features.ctypes.data_as(f32p),
+            self.host_inv_norm.ctypes.data_as(f32p),
+            self.host_strength.ctypes.data_as(f32p),
+            self.host_timestamp.ctypes.data_as(f32p),
+            slots_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qn32.ctypes.data_as(f32p),
+            ctypes.c_float(self.step),
+            ctypes.c_float(cfg.seconds_per_step),
+            ctypes.c_float(cfg.temporal_tau),
+            ctypes.c_float(cfg.w_cosine), ctypes.c_float(cfg.w_temporal),
+            B, F, cfg.feature_dim, kk,
+            out_slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_scores.ctypes.data_as(f32p))
+        hit = out_slots >= 0
+        feats = np.where(hit[..., None],
+                         self.host_features[np.maximum(out_slots, 0)], 0.0)
+        return RetrievalResult(out_slots, out_scores, feats)
 
     def retrieve(self, queries: np.ndarray, k: Optional[int] = None,
                  query_locations: Optional[np.ndarray] = None

@@ -258,3 +258,50 @@ def test_query_chunked_two_stage_funnel():
     a = bank.retrieve(q, k=5)
     b = bank0.retrieve(q, k=5)
     np.testing.assert_array_equal(a.indices, b.indices)
+
+
+def test_native_rerank_matches_numpy():
+    """The fused C++ rerank (native/spill_rerank.cpp) must reproduce the
+    numpy reference path: same winners, same scores (up to summation-order
+    float noise), including after decay/tick (metadata terms live)."""
+    from aura_snn_rag_tpu.memory import host_spill
+
+    if host_spill._RERANK_NATIVE is None:
+        pytest.skip("native library unavailable")
+    cfg = _cfg()
+    bank = SpilledBank(cfg)
+    feats = _data(400, cfg.feature_dim, seed=11)
+    bank.write(feats[:200])
+    bank.decay(0.05)
+    bank.tick(3.0)
+    bank.write(feats[200:])
+    q = _data(64, cfg.feature_dim, seed=12)
+    qn, qp, qsp, B, use_kernel = bank._prep_queries(q)
+    funnel = np.asarray(bank._dispatch_funnel(q)[2])
+    a = bank._host_rerank(qn, B, funnel, 10, None, use_native=True)
+    b = bank._host_rerank(qn, B, funnel, 10, None, use_native=False)
+    # scores agree to float-sum noise; winners agree as sets (near-ties
+    # may swap order between BLAS and the C++ accumulator)
+    np.testing.assert_allclose(
+        np.sort(a.scores, axis=1), np.sort(b.scores, axis=1),
+        rtol=2e-5, atol=2e-6)
+    for ra, rb in zip(a.indices, b.indices):
+        assert set(ra[ra >= 0].tolist()) == set(rb[rb >= 0].tolist())
+
+
+def test_native_rerank_dead_lanes_and_small_bank():
+    """Fewer live candidates than k: native path pads with slot -1 /
+    score 0 exactly like the numpy path."""
+    from aura_snn_rag_tpu.memory import host_spill
+
+    if host_spill._RERANK_NATIVE is None:
+        pytest.skip("native library unavailable")
+    cfg = _cfg()
+    bank = SpilledBank(cfg)
+    bank.write(_data(5, cfg.feature_dim, seed=13))   # bank smaller than k
+    q = _data(8, cfg.feature_dim, seed=14)
+    r = bank.retrieve(q, k=10)
+    for row, srow in zip(r.indices, r.scores):
+        live = row >= 0
+        assert live.sum() == 5
+        assert (srow[~live] == 0.0).all()

@@ -43,6 +43,7 @@ run_job() { # name timeout_s cmd...
 
 log "=== queue r5B start (pid $$) ==="
 
+run_job h2d_dtypes_r5 1800 python benchmarks/bench_h2d_dtypes.py
 run_job headline_blockmax_fb16_r5 3600 \
   python bench.py --flat-strategy=blockmax --flat-block-funnel=16
 run_job headline_blockmax_fb32_r5 3600 \
