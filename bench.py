@@ -82,8 +82,13 @@ RESCUE = next((int(a.split("=", 1)[1]) for a in sys.argv
                if a.startswith("--rescue=")), None)
 RESCUE_WIDTH = next((int(a.split("=", 1)[1]) for a in sys.argv
                      if a.startswith("--rescue-width=")), None)
-# ship ingest as f32 instead of the default f16-over-the-link (A/B flag)
-INGEST_F32 = "--ingest-f32" in sys.argv
+# ingest wire encoding: f16 (default, half the f32 bytes), f32, or u16
+# (f16 bits shipped as uint16 + device-side bitcast — sidesteps any slow
+# f16 PJRT transfer path; see benchmarks/bench_h2d_dtypes.py).
+# --ingest-f32 kept as an alias for --ingest-dtype=f32.
+INGEST_DTYPE = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("--ingest-dtype=")),
+                    "f32" if "--ingest-f32" in sys.argv else "f16")
 N = next((int(a.split("=", 1)[1]) for a in sys.argv
           if a.startswith("--n=")), 100_000 if SMALL else 1_000_000)
 D = 768
@@ -175,14 +180,20 @@ def tpu_bench(feats, queries):
                        **kernel_kw)
     state = init_memory_state(cfg)
     t_ing = time.perf_counter()
-    # ship f16 over the link (half the bytes of f32 — the tunnel uplink is
-    # the ingest bottleneck at ~7.6 MB/s), widen to f32 on device. The
+    # ship f16-width data over the link (half the bytes of f32 — the
+    # tunnel uplink is the ingest bottleneck), widen to f32 on device. The
     # stored bank rows are therefore f16-rounded (~5e-4 relative); recall
     # is measured against exact search over the same stored bank (the
     # standard ANN contract) plus a separate fidelity check vs the
-    # original f32 data below. --ingest-f32 restores the old path.
-    if INGEST_F32:
+    # original f32 data below. "u16" ships the same f16 bits as uint16 +
+    # device-side bitcast (PJRT f16 H2D measured pathologically slow —
+    # benchmarks/bench_h2d_dtypes.py); "f32" restores the full-width path.
+    if INGEST_DTYPE == "f32":
         f = jnp.asarray(feats)
+    elif INGEST_DTYPE == "u16":
+        u16 = feats.astype(np.float16).view(np.uint16)
+        f = jax.lax.bitcast_convert_type(
+            jnp.asarray(u16), jnp.float16).astype(jnp.float32)
     else:
         f = jnp.asarray(feats.astype(np.float16)).astype(jnp.float32)
     state = bulk_load(cfg, state, f, jnp.zeros((N, 2), jnp.float32))
