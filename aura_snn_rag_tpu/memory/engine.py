@@ -542,15 +542,17 @@ def retrieve_flat(config: MemoryConfig, state: MemoryState,
 
     Two strategies (config.flat_strategy):
 
-    - "blockmax" (default): streaming Pallas kernel that never
-      materializes [B, M] — per-R-row block maxima come back from one
-      fused scan pass, a hierarchical exact top-k picks the winning
-      blocks, and their member rows get the exact f32 rerank. The
-      block-max funnel provably contains the coarse top-k (only k-1
-      elements can beat the k-th best, so its block max ranks <= k).
-      Falls back to the same math in XLA on CPU / with query locations.
-    - "scan": the original XLA path — [B, M] coarse scores +
-      `approx_max_k` funnel (kept for A/B and as reference math).
+    - "scan" (default — end-to-end measured winner at B=1024, see
+      docs/BENCHMARKS.md): the XLA path — [B, M] coarse scores +
+      `approx_max_k` funnel.
+    - "blockmax": streaming Pallas kernel that never materializes
+      [B, M] — per-R-row block maxima come back from one fused scan
+      pass, a hierarchical exact top-k picks the winning blocks, and
+      their member rows get the exact f32 rerank. The block-max funnel
+      provably contains the coarse top-k (only k-1 elements can beat the
+      k-th best, so its block max ranks <= k). Falls back to the same
+      math in XLA on CPU / with query locations. The coarse engine of
+      the host-spilled 10M tier, where no [B, M] can exist.
     """
     if config.flat_strategy == "blockmax":
         return _retrieve_flat_blockmax(config, state, queries,

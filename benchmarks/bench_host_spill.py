@@ -101,7 +101,13 @@ def main():
     # sustained QPS: pipelined batches (device funnels overlap host rerank)
     batches = [queries[i * QUERY_BATCH:(i + 1) * QUERY_BATCH]
                for i in range(N_QUERY_BATCHES)]
-    bank.retrieve(batches[0][:8])                          # warm/compile
+    # warm/compile at the FULL batch shape: the funnel program is keyed by
+    # the padded batch Bp — an 8-query warmup compiles the Bp=128 program
+    # and leaves the Bp=QUERY_BATCH (chunked) compile inside the timed
+    # region (~20 s of remote compile: the round-5 first 10M B=1024 run
+    # read 79.6 QPS this way while its own per-stage breakdown measured a
+    # ~1.5k QPS pipeline)
+    bank.retrieve(batches[0])
     t0 = time.perf_counter()
     # coalesce pinned to the dispatch batch so --batch is the only knob
     results = bank.retrieve_stream(batches, coalesce=QUERY_BATCH)

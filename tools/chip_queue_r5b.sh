@@ -44,6 +44,10 @@ run_job() { # name timeout_s cmd...
 log "=== queue r5B start (pid $$) ==="
 
 run_job h2d_dtypes_r5 1800 python benchmarks/bench_h2d_dtypes.py
+# clean re-measure of the default 10M config with the full-batch warmup
+# (the first r5 run compiled the Bp=1024 funnel inside the timed region)
+run_job hs_r5_b1024_clean 7200 \
+  python benchmarks/bench_host_spill.py --batch=1024 --breakdown
 run_job headline_blockmax_fb16_r5 3600 \
   python bench.py --flat-strategy=blockmax --flat-block-funnel=16
 run_job headline_blockmax_fb32_r5 3600 \
