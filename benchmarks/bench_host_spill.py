@@ -51,6 +51,18 @@ FUNNEL_BLOCKS = next((int(a.split("=", 1)[1]) for a in sys.argv
 # that scales BOTH the device->host transfer and the host-rerank gather.
 FUNNEL_ROWS = next((int(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--funnel-rows=")), None)
+# One-ingest multi-config sweep: --sweep=fb64r192,fb32r192,fb64r96 runs
+# every (flat_block_funnel, spill_funnel_rows) pair against the SAME
+# ingested bank (ingest is ~25 min at 10M on the tunnel; each config
+# re-measure alone would re-pay it). One JSON line per config.
+SWEEP = next((a.split("=", 1)[1].split(",") for a in sys.argv
+              if a.startswith("--sweep=")), None)
+
+
+def _parse_sweep_item(item):
+    # "fb64r192" -> (64, 192)
+    fb, rows = item[2:].split("r")
+    return int(fb), int(rows)
 
 
 def chunk_factory(seed0=0):
@@ -101,83 +113,107 @@ def main():
     # sustained QPS: pipelined batches (device funnels overlap host rerank)
     batches = [queries[i * QUERY_BATCH:(i + 1) * QUERY_BATCH]
                for i in range(N_QUERY_BATCHES)]
-    # warm/compile at the FULL batch shape: the funnel program is keyed by
-    # the padded batch Bp — an 8-query warmup compiles the Bp=128 program
-    # and leaves the Bp=QUERY_BATCH (chunked) compile inside the timed
-    # region (~20 s of remote compile: the round-5 first 10M B=1024 run
-    # read 79.6 QPS this way while its own per-stage breakdown measured a
-    # ~1.5k QPS pipeline)
-    bank.retrieve(batches[0])
-    t0 = time.perf_counter()
-    # coalesce pinned to the dispatch batch so --batch is the only knob
-    results = bank.retrieve_stream(batches, coalesce=QUERY_BATCH)
-    qps = n_q / (time.perf_counter() - t0)
 
-    if BREAKDOWN:
-        # Per-stage attribution. Dispatch is async, so "device" is fenced
-        # with a 1-element transfer of the LAST output; "transfer" then
-        # pulls the full funnel arrays; "rerank" reruns the host math on
-        # the already-transferred operands.
+    def measure(bank):
+        """(qps, results, breakdown-json-or-None) at bank.config."""
+        # warm/compile at the FULL batch shape: the funnel program is
+        # keyed by the padded batch Bp — an 8-query warmup compiles the
+        # Bp=128 program and leaves the Bp=QUERY_BATCH (chunked) compile
+        # inside the timed region (~20 s of remote compile: the round-5
+        # first 10M B=1024 run read 79.6 QPS this way while its own
+        # per-stage breakdown measured a ~1.5k QPS pipeline)
+        bank.retrieve(batches[0])
         t0 = time.perf_counter()
-        inflight = [bank._dispatch_funnel(b) for b in batches]
-        dispatch_s = time.perf_counter() - t0
-        np.asarray(inflight[-1][2][:1, :1])                # device fence
-        device_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        pulled = [np.asarray(f) for _, _, f in inflight]
-        transfer_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for (qn_b, B, _), f in zip(inflight, pulled):
-            bank._host_rerank(qn_b, B, f, TOPK, None)
-        rerank_s = time.perf_counter() - t0
-        funnel_bytes = pulled[0].nbytes
+        # coalesce pinned to the dispatch batch so --batch is the one knob
+        results = bank.retrieve_stream(batches, coalesce=QUERY_BATCH)
+        qps = n_q / (time.perf_counter() - t0)
+        breakdown = None
+        if BREAKDOWN:
+            # Per-stage attribution. Dispatch is async, so "device" is
+            # fenced with a 1-element transfer of the LAST output;
+            # "transfer" then pulls the full funnel arrays; "rerank"
+            # reruns the host math on the already-transferred operands.
+            t0 = time.perf_counter()
+            inflight = [bank._dispatch_funnel(b) for b in batches]
+            dispatch_s = time.perf_counter() - t0
+            np.asarray(inflight[-1][2][:1, :1])            # device fence
+            device_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pulled = [np.asarray(f) for _, _, f in inflight]
+            transfer_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for (qn_b, B, _), f in zip(inflight, pulled):
+                bank._host_rerank(qn_b, B, f, TOPK, None)
+            rerank_s = time.perf_counter() - t0
+            breakdown = {
+                "breakdown_per_batch_ms": {
+                    "dispatch": round(dispatch_s / len(batches) * 1e3, 1),
+                    "device_funnel": round(device_s / len(batches) * 1e3, 1),
+                    "transfer": round(transfer_s / len(batches) * 1e3, 1),
+                    "host_rerank": round(rerank_s / len(batches) * 1e3, 1),
+                },
+                "funnel_bytes_per_batch": pulled[0].nbytes,
+                "funnel_blocks": bank.config.flat_block_funnel,
+                "funnel_rows": bank.config.spill_funnel_rows,
+                "n_vectors": N,
+            }
+        return qps, results, breakdown
+
+    def exact_ground_truth():
+        # exact cosine top-k, chunkwise over the host f32 bank
+        qn = queries[:N_EVAL] / (np.linalg.norm(
+            queries[:N_EVAL], axis=1, keepdims=True) + 1e-12)
+        best_v = np.full((N_EVAL, TOPK), -1e30, np.float32)
+        best_i = np.zeros((N_EVAL, TOPK), np.int64)
+        for off in range(0, N, CHUNK):
+            rows = bank.host_features[off:off + CHUNK]
+            rn = rows / (np.linalg.norm(rows, axis=1, keepdims=True)
+                         + 1e-12)
+            cos = qn @ rn.T                                # [E, chunk]
+            merged_v = np.concatenate([best_v, cos], axis=1)
+            merged_i = np.concatenate(
+                [best_i, np.arange(off, off + rows.shape[0])[None, :]
+                 .repeat(N_EVAL, 0)], axis=1)
+            pick = np.argpartition(-merged_v, TOPK - 1, axis=1)[:, :TOPK]
+            best_v = np.take_along_axis(merged_v, pick, axis=1)
+            best_i = np.take_along_axis(merged_i, pick, axis=1)
+        return best_i
+
+    def report(qps, results, breakdown, best_i):
+        if breakdown is not None:
+            print(json.dumps(breakdown), flush=True)
+        got = np.concatenate([r.indices for r in results])[:N_EVAL]
+        recall = float(np.mean([
+            len(set(g.tolist()) & set(e.tolist())) / TOPK
+            for g, e in zip(got, best_i)]))
+        hbm_gb = N * D / 2**30 + N * 8 / 2**30            # int8 + metadata
+        host_gb = N * D * 4 / 2**30
         print(json.dumps({
-            "breakdown_per_batch_ms": {
-                "dispatch": round(dispatch_s / len(batches) * 1e3, 1),
-                "device_funnel": round(device_s / len(batches) * 1e3, 1),
-                "transfer": round(transfer_s / len(batches) * 1e3, 1),
-                "host_rerank": round(rerank_s / len(batches) * 1e3, 1),
-            },
-            "funnel_bytes_per_batch": funnel_bytes,
-            "funnel_blocks": FUNNEL_BLOCKS, "n_vectors": N,
+            "metric": f"host-spilled retrieval QPS @ {N} vectors",
+            "value": round(qps, 1), "unit": "queries/s",
+            "recall_at_10": round(recall, 4),
+            "ingest_s": round(ingest_s, 1),
+            "n_vectors": N, "coarse_dtype": "int8",
+            "batch": QUERY_BATCH,
+            "funnel_blocks": bank.config.flat_block_funnel,
+            "funnel_rows": bank.config.spill_funnel_rows,
+            "query_chunk": bank.config.spill_query_chunk,
+            "hbm_resident_gb": round(hbm_gb, 2),
+            "host_resident_gb": round(host_gb, 2),
         }), flush=True)
 
-    # exact ground truth, chunkwise over the host f32 bank
-    qn = queries[:N_EVAL] / (np.linalg.norm(
-        queries[:N_EVAL], axis=1, keepdims=True) + 1e-12)
-    best_v = np.full((N_EVAL, TOPK), -1e30, np.float32)
-    best_i = np.zeros((N_EVAL, TOPK), np.int64)
-    for off in range(0, N, CHUNK):
-        rows = bank.host_features[off:off + CHUNK]
-        rn = rows / (np.linalg.norm(rows, axis=1, keepdims=True) + 1e-12)
-        cos = qn @ rn.T                                    # [E, chunk]
-        merged_v = np.concatenate([best_v, cos], axis=1)
-        merged_i = np.concatenate(
-            [best_i, np.arange(off, off + rows.shape[0])[None, :]
-             .repeat(N_EVAL, 0)], axis=1)
-        pick = np.argpartition(-merged_v, TOPK - 1, axis=1)[:, :TOPK]
-        best_v = np.take_along_axis(merged_v, pick, axis=1)
-        best_i = np.take_along_axis(merged_i, pick, axis=1)
-
-    got = np.concatenate([r.indices for r in results])[:N_EVAL]
-    recall = float(np.mean([
-        len(set(g.tolist()) & set(e.tolist())) / TOPK
-        for g, e in zip(got, best_i)]))
-
-    hbm_gb = N * D / 2**30 + N * 8 / 2**30                # int8 + metadata
-    host_gb = N * D * 4 / 2**30
-    print(json.dumps({
-        "metric": f"host-spilled retrieval QPS @ {N} vectors",
-        "value": round(qps, 1), "unit": "queries/s",
-        "recall_at_10": round(recall, 4),
-        "ingest_s": round(ingest_s, 1),
-        "n_vectors": N, "coarse_dtype": "int8",
-        "batch": QUERY_BATCH, "funnel_blocks": FUNNEL_BLOCKS,
-        "funnel_rows": cfg.spill_funnel_rows,
-        "query_chunk": cfg.spill_query_chunk,
-        "hbm_resident_gb": round(hbm_gb, 2),
-        "host_resident_gb": round(host_gb, 2),
-    }))
+    best_i = exact_ground_truth()
+    if SWEEP is None:
+        qps, results, breakdown = measure(bank)
+        report(qps, results, breakdown, best_i)
+        return
+    import dataclasses
+    for item in SWEEP:
+        fb, rows = _parse_sweep_item(item)
+        bank.config = dataclasses.replace(
+            bank.config, flat_block_funnel=fb, spill_funnel_rows=rows)
+        qps, results, breakdown = measure(bank)
+        report(qps, results, breakdown, best_i)
 
 
 if __name__ == "__main__":
