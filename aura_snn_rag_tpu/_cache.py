@@ -20,14 +20,6 @@ import jax
 
 def _host_fingerprint() -> str:
     parts = [_platform.machine(), jax.__version__]
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    parts.append(line.strip())
-                    break
-    except OSError:
-        parts.append(_platform.processor() or "unknown-cpu")
     # the platform the process will use: an explicit jax_platforms config
     # (set by callers before importing this package) wins, then the env var,
     # else whatever auto-selection picks (distinct dir from forced modes)
@@ -36,7 +28,23 @@ def _host_fingerprint() -> str:
         platforms = jax.config.jax_platforms
     except AttributeError:
         pass
-    parts.append(platforms or os.environ.get("JAX_PLATFORMS") or "auto")
+    platforms = platforms or os.environ.get("JAX_PLATFORMS") or "auto"
+    parts.append(platforms)
+    # Only CPU AOT entries embed the compiling host's CPU features (and
+    # fail to load elsewhere) — accelerator binaries are host-agnostic, so
+    # fingerprinting the host CPU for them would strand the cache on every
+    # new VM (each TPU compile here is a ~20-40 s remote-service round
+    # trip). "auto" on this fleet resolves to the TPU tunnel; forced-cpu
+    # callers (tests, the multichip dryrun) say "cpu" explicitly.
+    if platforms.startswith("cpu"):
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        parts.append(line.strip())
+                        break
+        except OSError:
+            parts.append(_platform.processor() or "unknown-cpu")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
