@@ -33,7 +33,13 @@ TOPK = 10
 # the device-resident headline path (--batch=1024 there): --batch=1024
 QUERY_BATCH = next((int(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--batch=")), 128)
-N_QUERY_BATCHES = max(2, (1024 if SMALL else 2048) // QUERY_BATCH)
+# --batches widens the measured stream (more in-flight batches = closer
+# to steady-state pipeline throughput; at B=1024 the default stream is
+# only 2 batches, so dispatch/drain edges weigh ~half the measurement)
+N_QUERY_BATCHES = next(
+    (int(a.split("=", 1)[1]) for a in sys.argv
+     if a.startswith("--batches=")),
+    max(2, (1024 if SMALL else 2048) // QUERY_BATCH))
 N_EVAL = 256         # queries scored against exact ground truth (2560
                      # items: resolves the fb32-vs-fb64 recall A/B;
                      # ~80 s of host matmul at 10M rows)
@@ -51,18 +57,23 @@ FUNNEL_BLOCKS = next((int(a.split("=", 1)[1]) for a in sys.argv
 # that scales BOTH the device->host transfer and the host-rerank gather.
 FUNNEL_ROWS = next((int(a.split("=", 1)[1]) for a in sys.argv
                     if a.startswith("--funnel-rows=")), None)
-# One-ingest multi-config sweep: --sweep=fb64r192,fb32r192,fb64r96 runs
-# every (flat_block_funnel, spill_funnel_rows) pair against the SAME
-# ingested bank (ingest is ~25 min at 10M on the tunnel; each config
-# re-measure alone would re-pay it). One JSON line per config.
+# One-ingest multi-config sweep: --sweep=fb64r192,fb32r192,fb64r96qc512
+# runs every (flat_block_funnel, spill_funnel_rows[, spill_query_chunk])
+# combo against the SAME ingested bank (ingest is ~25 min at 10M on the
+# tunnel; each config re-measure alone would re-pay it). One JSON line
+# per config.
 SWEEP = next((a.split("=", 1)[1].split(",") for a in sys.argv
               if a.startswith("--sweep=")), None)
 
 
 def _parse_sweep_item(item):
-    # "fb64r192" -> (64, 192)
-    fb, rows = item[2:].split("r")
-    return int(fb), int(rows)
+    # "fb64r192" -> (64, 192, None); "fb64r192qc512" -> (64, 192, 512)
+    fb, rest = item[2:].split("r")
+    qc = None
+    if "qc" in rest:
+        rest, qc = rest.split("qc")
+        qc = int(qc)
+    return int(fb), int(rest), qc
 
 
 def chunk_factory(seed0=0):
@@ -209,9 +220,11 @@ def main():
         return
     import dataclasses
     for item in SWEEP:
-        fb, rows = _parse_sweep_item(item)
+        fb, rows, qc = _parse_sweep_item(item)
+        qc_kw = {} if qc is None else {"spill_query_chunk": qc}
         bank.config = dataclasses.replace(
-            bank.config, flat_block_funnel=fb, spill_funnel_rows=rows)
+            bank.config, flat_block_funnel=fb, spill_funnel_rows=rows,
+            **qc_kw)
         qps, results, breakdown = measure(bank)
         report(qps, results, breakdown, best_i)
 
