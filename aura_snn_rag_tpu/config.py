@@ -160,10 +160,15 @@ class MemoryConfig:
     # block funnel's flat_block_funnel*8 candidate rows (one [B, F, D]
     # int8 gather at HBM speed) and returns only the top `spill_funnel_rows`
     # slots per query. Cuts device->host transfer AND the host f32 rerank
-    # by F/spill_funnel_rows (~2.7x at the 512->192 defaults) — the two
-    # serial stages that bound the 10M tier. 0, or a value >= the block
-    # funnel width, disables the second stage (single-stage block funnel).
-    spill_funnel_rows: int = 192
+    # by F/spill_funnel_rows (~5.3x at the 512->96 defaults) — the two
+    # serial stages that bound the 10M tier. The round-5 on-chip sweep at
+    # 10M x 768 / B=1024 (runs/hs_r5_sweep.out) measured recall@10 = 1.000
+    # at every width down to 64 (per-query max-abs int8 scale keeps true
+    # top-10 rows high in the exact-coarse order); 96 = 2216 QPS with a
+    # 2x cushion over the also-recall-perfect 64 (2530 QPS). 0, or a
+    # value >= the block funnel width, disables the second stage
+    # (single-stage block funnel).
+    spill_funnel_rows: int = 96
     # Host-spilled bank query chunking: the device funnel runs queries in
     # chunks of this size (lax.map). Bounds the [chunk, M/8] f32 block-max
     # surface — at B=1024 x 10M rows the unchunked surface was 4.77 GB
