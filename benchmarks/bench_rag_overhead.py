@@ -32,7 +32,11 @@ STEPS = next((int(a.split("=", 1)[1]) for a in sys.argv
               if a.startswith("--steps=")), 30)
 BATCH = next((int(a.split("=", 1)[1]) for a in sys.argv
               if a.startswith("--batch=")), 16)
-V5E_PEAK_FLOPS = 394e12          # bf16
+# v5e peak is 197 TFLOPS bf16 (394 is the int8 TOPS figure) — must match
+# examples/train_flagship.py so MFUs are comparable across runs. The
+# first chip run of this bench (runs/rag_overhead_r5.out) divided by
+# 394e12: its mfu_* fields are exactly 2x too low (0.1844 -> 0.369).
+V5E_PEAK_FLOPS = 197e12          # bf16
 
 
 def main():
